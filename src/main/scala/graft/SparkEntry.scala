@@ -54,8 +54,32 @@ object SparkEntry {
       val toks = docTokens(s, dir)
       BM25.scoreExact(BM25.termFreq(toks), BM25.docLengths(toks),
         Seq("spark", "query", "vector"), k = 10)
+    }),
+
+    // -- compressed inverted index + block-max WAND ----------------------
+    // (full engine path: docIds → sharded delta/FOR posting lists →
+    // distributed WAND; the oracle is plain SQL BM25, proving the
+    // compressed path is exact)
+    "wand_topk" -> ((s, dir) => {
+      documentsIndex(s, dir).wandTopK(Seq("stream", "merge", "window"), 10, roundTo = 4)
     })
   )
+
+  /** Inverted index over the documents table (built once per sf dir into
+    * /tmp and resumed on later calls via stage lineage).
+    */
+  def documentsIndex(s: SparkSession, dir: String): graft.index.InvertedIndex = {
+    import s.implicits._
+    def docs = table(s, dir, "documents")
+      .select(col("doc_id").as("docId"), col("source").as("repo"),
+        col("doc_id").cast("string").as("path"), lit("").as("commit"),
+        col("lang"), col("text").as("content"))
+      .as[graft.index.DocIds.Doc]
+    val sfName = new java.io.File(dir).getName
+    graft.index.IndexBuilder.buildFromDocs(s, docs, s"/tmp/graft_docidx_$sfName",
+      corpusFp = s"documents:$dir",
+      graft.index.IndexBuilder.Params(docsPerShard = 64L, numParts = 8, tokenizer = "simple"))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -83,7 +107,8 @@ object SparkEntry {
         |  FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term)
         |SELECT term, count(*) AS df FROM tf GROUP BY term""".stripMargin,
-    "bm25_topk" -> bm25OracleSql(Seq("spark", "query", "vector"), 10)
+    "bm25_topk" -> bm25OracleSql(Seq("spark", "query", "vector"), 10),
+    "wand_topk" -> bm25OracleSql(Seq("stream", "merge", "window"), 10)
   )
 
   /** DuckDB BM25 oracle: same formula, same tokenizer, same tie-break. */
@@ -108,7 +133,7 @@ object SparkEntry {
        |  JOIN df ON tf.term = df.term
        |  CROSS JOIN stats
        |  GROUP BY tf.doc_id)
-       |SELECT doc_id, round(score, 4) AS score FROM scored
-       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+       |SELECT doc_id, round(scored.score, 4) AS score FROM scored
+       |ORDER BY scored.score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 }

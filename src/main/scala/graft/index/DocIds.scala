@@ -1,0 +1,56 @@
+package graft.index
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, Encoders}
+import graft.corpus.SourceFile
+
+/** Deterministic, dense, resume-stable docId assignment — Dataset-only
+  * (no RDD zipWithIndex), per SURVEY.md §4 item 4 and §7.4 item 2.
+  *
+  * docId = offset(partition) + local rank, where
+  *  - partition = hash-partition of the natural key (repo, path, commit)
+  *    (deterministic for a fixed partition count — no RangePartitioner
+  *    sampling, whose boundaries vary between runs),
+  *  - local rank = position in the (repo, path, commit) sort within the
+  *    partition,
+  *  - offset = prefix sum of per-partition counts (a tiny driver-side
+  *    collect of `numParts` longs — scale-safe at any corpus size).
+  *
+  * Two actions run over the same shuffle; Spark reuses the shuffle files
+  * for the second pass, so the corpus is scanned once and shuffled once.
+  */
+object DocIds {
+
+  case class Doc(docId: Long, repo: String, path: String, commit: String,
+      lang: String, content: String)
+
+  def assign(files: Dataset[SourceFile], numParts: Int): Dataset[Doc] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val parted = files
+      .repartition(numParts, $"repo", $"path", $"commit")
+      .sortWithinPartitions($"repo", $"path", $"commit")
+    // pass 1: per-partition counts (shuffle is materialized here and
+    // reused by pass 2)
+    val counts: Array[(Int, Long)] = parted
+      .mapPartitions { it =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+        Iterator.single((TaskContext.getPartitionId(), n))
+      }(Encoders.product[(Int, Long)])
+      .collect()
+    val offsets = new Array[Long](numParts)
+    var acc = 0L
+    counts.sortBy(_._1).foreach { case (pid, n) => offsets(pid) = acc; acc += n }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    // pass 2: attach ids
+    parted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var next = bOffsets.value(pid)
+      it.map { f =>
+        val d = Doc(next, f.repo, f.path, f.commit, f.lang, f.content)
+        next += 1
+        d
+      }
+    }
+  }
+}

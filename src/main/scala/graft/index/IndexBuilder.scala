@@ -1,0 +1,210 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.SourceFile
+import graft.index.DocIds.Doc
+import graft.search.{BM25, Wand}
+import graft.tokenize.CodeTokenizer
+
+/** Inverted-index build pipeline: corpus → docIds → doc stats → sharded
+  * compressed posting lists → term stats, each stage checkpointed with
+  * lineage (resume = rerun `build`; completed stages are skipped).
+  *
+  * Stage layout under `dir/`:
+  *   docs/       (doc_id, repo, path, commit, lang, content, sha256)
+  *   doclens/    (doc_id, dl)
+  *   meta.props  nDocs, avgdl, docsPerShard, bm25 params, fingerprint
+  *   postings/   Dataset[PostingList], partitioned by shard hash,
+  *               sorted by (shard, term) for row-group pruning
+  *   termstats/  (term, df) global document frequencies
+  */
+object IndexBuilder {
+
+  case class Params(
+      docsPerShard: Long = 4096L,
+      numParts: Int = 32,
+      bm25: BM25.Params = BM25.Params(),
+      tokenizer: String = "code") { // "code" | "simple"
+    def fingerprint: String =
+      s"dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer"
+  }
+
+  /** Token stream (doc_id, term) under the configured tokenizer mode. */
+  def tokens(docs: Dataset[Doc], mode: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fn: String => Array[String] =
+      if (mode == "simple") CodeTokenizer.simpleTokens else CodeTokenizer.codeTokens
+    docs.flatMap(d => fn(d.content).map(t => (d.docId, t))).toDF("doc_id", "term")
+  }
+
+  /** Build from raw files: assigns deterministic docIds (stage 1), then
+    * runs the shared stages.
+    */
+  def build(spark: SparkSession, files: => Dataset[SourceFile], dir: String,
+      corpusFp: String, p: Params = Params()): InvertedIndex =
+    buildStages(spark, dir, corpusFp, p) { () =>
+      import spark.implicits._
+      DocIds.assign(files, p.numParts).withColumn("sha256", sha2($"content", 256))
+    }
+
+  /** Build over documents that already carry stable ids (e.g. an external
+    * table with a doc_id column).
+    */
+  def buildFromDocs(spark: SparkSession, docsIn: => Dataset[Doc], dir: String,
+      corpusFp: String, p: Params = Params()): InvertedIndex =
+    buildStages(spark, dir, corpusFp, p) { () =>
+      import spark.implicits._
+      docsIn.withColumn("sha256", sha2($"content", 256))
+    }
+
+  private def buildStages(spark: SparkSession, dir: String, corpusFp: String,
+      p: Params)(stage1: () => DataFrame): InvertedIndex = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    val fp = Stage.fingerprintOf(corpusFp, p.fingerprint)
+
+    // ---- stage 1: docs table + sha256 invariant column ----------------
+    Stage.run(s"$dir/docs", "docs", fp) {
+      stage1().write.mode("overwrite").parquet(s"$dir/docs")
+      spark.read.parquet(s"$dir/docs").count()
+    }
+    def docs: Dataset[Doc] = spark.read.parquet(s"$dir/docs")
+      .select("docId", "repo", "path", "commit", "lang", "content").as[Doc]
+
+    // ---- stage 2: doc lengths + corpus stats --------------------------
+    Stage.run(s"$dir/doclens", "doclens", fp) {
+      val dl = tokens(docs, p.tokenizer).groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      dl.write.mode("overwrite").parquet(s"$dir/doclens")
+      val st = spark.read.parquet(s"$dir/doclens")
+        .agg(count(lit(1)).cast("long").as("n"), avg($"dl").as("avgdl"), sum($"dl").as("toks"))
+        .collect()(0)
+      writeMeta(s"$dir/meta.props", Map(
+        "nDocs" -> st.getLong(0).toString,
+        "avgdl" -> st.getDouble(1).toString,
+        "totalTokens" -> st.getLong(2).toString,
+        "docsPerShard" -> p.docsPerShard.toString,
+        "numParts" -> p.numParts.toString,
+        "k1" -> p.bm25.k1.toString,
+        "b" -> p.bm25.b.toString,
+        "fingerprint" -> fp))
+      st.getLong(0)
+    }
+    val meta = readMeta(s"$dir/meta.props")
+    val avgdl = meta("avgdl").toDouble
+
+    // ---- stage 3: compressed sharded posting lists --------------------
+    Stage.run(s"$dir/postings", "postings", fp) {
+      val tf = tokens(docs, p.tokenizer).groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dl = spark.read.parquet(s"$dir/doclens")
+      val entries = tf.join(dl, "doc_id")
+        .select($"term", ($"doc_id" / lit(p.docsPerShard)).cast("int").as("shard"),
+          $"doc_id".as("docId"), $"tf", $"dl")
+        .as[PostingEntry]
+      val agg = new PostingAgg(p.bm25, avgdl)
+      entries
+        .groupByKey(e => (e.term, e.shard))
+        .agg(agg.toColumn)
+        .map(_._2)
+        .repartition(p.numParts, $"shard")
+        .sortWithinPartitions($"shard", $"term")
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      spark.read.parquet(s"$dir/postings").count()
+    }
+
+    // ---- stage 4: global term document frequencies --------------------
+    Stage.run(s"$dir/termstats", "termstats", fp) {
+      spark.read.parquet(s"$dir/postings")
+        .groupBy($"term").agg(sum($"df").as("df"))
+        .write.mode("overwrite").parquet(s"$dir/termstats")
+      spark.read.parquet(s"$dir/termstats").count()
+    }
+
+    new InvertedIndex(spark, dir)
+  }
+
+  def writeMeta(path: String, kv: Map[String, String]): Unit =
+    Files.writeString(Paths.get(path),
+      kv.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
+
+  def readMeta(path: String): Map[String, String] =
+    Files.readAllLines(Paths.get(path)).toArray(Array.empty[String])
+      .filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+      .toMap
+}
+
+/** Query-side handle over a built index directory. */
+class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
+  import spark.implicits._
+
+  lazy val meta: Map[String, String] = IndexBuilder.readMeta(s"$dir/meta.props")
+  def nDocs: Long = meta("nDocs").toLong
+  def avgdl: Double = meta("avgdl").toDouble
+  def bm25: BM25.Params = BM25.Params(meta("k1").toDouble, meta("b").toDouble)
+
+  def postings: Dataset[PostingList] =
+    spark.read.parquet(s"$dir/postings").as[PostingList]
+
+  def termStats: DataFrame = spark.read.parquet(s"$dir/termstats")
+
+  def docs: DataFrame = spark.read.parquet(s"$dir/docs")
+
+  /** Global per-term idf map for a query (tiny collect; filter pushes to
+    * the termstats parquet scan).
+    */
+  def idfFor(qTerms: Seq[String]): Map[String, Double] = {
+    val n = nDocs.toDouble
+    termStats.filter($"term".isin(qTerms: _*))
+      .collect()
+      .map(r => r.getString(0) -> BM25.idf(n, r.getLong(1).toDouble))
+      .toMap
+  }
+
+  /** Distributed block-max WAND top-k: per doc-shard tasks run exact
+    * local WAND; TakeOrderedAndProject merges shard top-ks (per-partition
+    * heaps + driver merge — same shape as the reference's per-thread heap
+    * merge, /root/reference/src/core.rs:818-888).
+    */
+  def wandTopK(qTerms: Seq[String], k: Int, roundTo: Int = -1): DataFrame = {
+    val terms = qTerms.distinct
+    val idf = idfFor(terms)
+    val p = bm25
+    val ad = avgdl
+    val hits = postings
+      .filter($"term".isin(terms: _*))
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        Wand.topKLists(it.toSeq, idf, p, ad, k).iterator.map(h => (h.docId, h.score))
+      }
+      .toDF("doc_id", "score")
+    val top = hits.orderBy($"score".desc, $"doc_id".asc).limit(k)
+    if (roundTo >= 0) top.withColumn("score", round($"score", roundTo)) else top
+  }
+
+  /** Exhaustive decode-and-score over the compressed lists (no WAND
+    * pruning) — the correctness oracle for wandTopK.
+    */
+  def exactTopK(qTerms: Seq[String], k: Int): DataFrame = {
+    val terms = qTerms.distinct
+    val idf = idfFor(terms)
+    val p = bm25
+    val ad = avgdl
+    val scores = postings
+      .filter($"term".isin(terms: _*))
+      .flatMap { pl =>
+        val w = idf(pl.term)
+        val (ids, tfs, dls) = PostingFormat.decodeAll(pl)
+        ids.indices.iterator.map { i =>
+          (ids(i), pl.term, w * PostingFormat.partial(tfs(i).toDouble, dls(i).toDouble, p, ad))
+        }
+      }
+      .toDF("doc_id", "term", "contrib")
+      // deterministic per-doc sum order: sort contributions by term
+      .groupBy($"doc_id")
+      .agg(sum($"contrib").as("score"))
+    scores.orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+}

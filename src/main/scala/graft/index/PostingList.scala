@@ -1,0 +1,208 @@
+package graft.index
+
+import scala.collection.mutable.ArrayBuffer
+import graft.search.BM25
+
+/** One compressed posting list for (term, shard).
+  *
+  * Docs are sharded by contiguous docId range (shard = docId / docsPerShard)
+  * — the explicit skew handling demanded by the north rule: a hot term's
+  * postings split evenly across ALL shards, so no single task ever owns a
+  * full Zipf-head list, and the "global inverted index" for a term is the
+  * concatenation of its shard lists in shard order (sort-merge-combine of
+  * runs that are already docId-disjoint and ordered).
+  *
+  * Layout per list (block size [[PostingFormat.BlockSize]]):
+  *  - `docBytes`: per block, FOR bit-packed (1-byte width header) deltas of
+  *    strictly-increasing docIds;
+  *  - `tfBytes` / `dlBytes`: per block, LEB128 varints of tf and doc length
+  *    (dl inline keeps WAND scoring exact without a shard-local side table);
+  *  - `blockLastDoc`: max docId per block → block skipping in `advanceTo`;
+  *  - `blockMaxPartial`: per-block max of the idf-free BM25 partial
+  *    (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)) → block-max WAND upper bounds.
+  */
+case class PostingList(
+    term: String,
+    shard: Int,
+    df: Long,
+    docBytes: Array[Byte],
+    tfBytes: Array[Byte],
+    dlBytes: Array[Byte],
+    blockLen: Array[Int],
+    blockLastDoc: Array[Long],
+    blockDocOff: Array[Int],
+    blockTfOff: Array[Int],
+    blockDlOff: Array[Int],
+    blockMaxPartial: Array[Double],
+    maxPartial: Double
+)
+
+object PostingFormat {
+  val BlockSize = 128
+
+  /** Encode one (term, shard) list from docId-sorted postings. */
+  def encode(term: String, shard: Int,
+      docIds: Array[Long], tfs: Array[Long], dls: Array[Long],
+      params: BM25.Params, avgdl: Double): PostingList = {
+    val n = docIds.length
+    require(n > 0, "empty posting list")
+    val nBlocks = (n + BlockSize - 1) / BlockSize
+    val docOut = new ArrayBuffer[Byte](n * 2)
+    val tfOut = new ArrayBuffer[Byte](n)
+    val dlOut = new ArrayBuffer[Byte](n)
+    val bLen = new Array[Int](nBlocks)
+    val bLast = new Array[Long](nBlocks)
+    val bDocOff = new Array[Int](nBlocks)
+    val bTfOff = new Array[Int](nBlocks)
+    val bDlOff = new Array[Int](nBlocks)
+    val bMax = new Array[Double](nBlocks)
+    var maxPartial = 0.0
+    var b = 0
+    while (b < nBlocks) {
+      val start = b * BlockSize
+      val end = math.min(start + BlockSize, n)
+      val len = end - start
+      bLen(b) = len
+      bLast(b) = docIds(end - 1)
+      bDocOff(b) = docOut.length
+      bTfOff(b) = tfOut.length
+      bDlOff(b) = dlOut.length
+      // deltas within block, first relative to previous block's last (or 0)
+      val deltas = new Array[Long](len)
+      var prev = if (start == 0) 0L else docIds(start - 1)
+      var i = 0
+      while (i < len) {
+        val d = docIds(start + i) - prev
+        require(d > 0 || (start + i == 0 && d >= 0), s"non-increasing docId at ${start + i}")
+        deltas(i) = d
+        prev = docIds(start + i)
+        i += 1
+      }
+      Codec.forEncodeBlock(deltas, docOut)
+      var blockMax = 0.0
+      i = 0
+      while (i < len) {
+        val tf = tfs(start + i)
+        val dl = dls(start + i)
+        Codec.writeVarLong(tf, tfOut)
+        Codec.writeVarLong(dl, dlOut)
+        val p = partial(tf.toDouble, dl.toDouble, params, avgdl)
+        if (p > blockMax) blockMax = p
+        i += 1
+      }
+      bMax(b) = blockMax
+      if (blockMax > maxPartial) maxPartial = blockMax
+      b += 1
+    }
+    PostingList(term, shard, n.toLong, docOut.toArray, tfOut.toArray, dlOut.toArray,
+      bLen, bLast, bDocOff, bTfOff, bDlOff, bMax, maxPartial)
+  }
+
+  /** idf-free BM25 partial score of one posting. */
+  @inline def partial(tf: Double, dl: Double, p: BM25.Params, avgdl: Double): Double =
+    tf * (p.k1 + 1.0) / (tf + p.k1 * (1.0 - p.b + p.b * dl / avgdl))
+
+  /** Decode the whole list (tests / exact replay). Returns (docIds, tfs, dls). */
+  def decodeAll(pl: PostingList): (Array[Long], Array[Long], Array[Long]) = {
+    val n = pl.df.toInt
+    val docIds = new Array[Long](n)
+    val tfs = new Array[Long](n)
+    val dls = new Array[Long](n)
+    var pos = 0
+    var b = 0
+    while (b < pl.blockLen.length) {
+      val len = pl.blockLen(b)
+      val (deltas, _) = Codec.forDecodeBlock(pl.docBytes, pl.blockDocOff(b), len)
+      var prev = if (pos == 0) 0L else docIds(pos - 1)
+      val (tfv, _) = Codec.decodeVarInts(pl.tfBytes, len, pl.blockTfOff(b))
+      val (dlv, _) = Codec.decodeVarInts(pl.dlBytes, len, pl.blockDlOff(b))
+      var i = 0
+      while (i < len) {
+        prev += deltas(i)
+        docIds(pos) = prev
+        tfs(pos) = tfv(i)
+        dls(pos) = dlv(i)
+        pos += 1; i += 1
+      }
+      b += 1
+    }
+    (docIds, tfs, dls)
+  }
+}
+
+/** Forward-only cursor with block skipping; drives block-max WAND. */
+final class PostingCursor(val pl: PostingList, params: BM25.Params, avgdl: Double,
+    val idf: Double) {
+  /** Creation-order index; WAND sums per-doc contributions in this order
+    * so scores are bit-deterministic regardless of cursor sort history.
+    */
+  var ord: Int = 0
+  private val nBlocks = pl.blockLen.length
+  private var blockIdx = -1
+  private var docsInBlock: Array[Long] = _
+  private var tfsInBlock: Array[Long] = _
+  private var dlsInBlock: Array[Long] = _
+  private var pos = 0
+  private var exhaustedFlag = false
+  loadBlock(0)
+
+  val maxScore: Double = idf * pl.maxPartial
+
+  private def loadBlock(b: Int): Unit = {
+    if (b >= nBlocks) { exhaustedFlag = true; return }
+    val len = pl.blockLen(b)
+    val (deltas, _) = Codec.forDecodeBlock(pl.docBytes, pl.blockDocOff(b), len)
+    var prev = if (b == 0) 0L else pl.blockLastDoc(b - 1)
+    val ids = new Array[Long](len)
+    var i = 0
+    while (i < len) { prev += deltas(i); ids(i) = prev; i += 1 }
+    docsInBlock = ids
+    tfsInBlock = Codec.decodeVarInts(pl.tfBytes, len, pl.blockTfOff(b))._1
+    dlsInBlock = Codec.decodeVarInts(pl.dlBytes, len, pl.blockDlOff(b))._1
+    blockIdx = b
+    pos = 0
+  }
+
+  def exhausted: Boolean = exhaustedFlag
+  def docId: Long = docsInBlock(pos)
+
+  /** Current doc's full score contribution (idf × partial). */
+  def score: Double =
+    idf * PostingFormat.partial(tfsInBlock(pos).toDouble, dlsInBlock(pos).toDouble, params, avgdl)
+
+  /** Upper bound of any doc's contribution in the current block. */
+  def blockMaxScore: Double = idf * pl.blockMaxPartial(blockIdx)
+
+  /** Last docId of the current block (shallow-advance boundary). */
+  def blockLastDocId: Long = pl.blockLastDoc(blockIdx)
+
+  def next(): Unit = {
+    pos += 1
+    if (pos >= docsInBlock.length) loadBlock(blockIdx + 1)
+  }
+
+  /** Advance to the first posting with docId >= target (block skip). */
+  def advanceTo(target: Long): Unit = {
+    if (exhaustedFlag || docId >= target) return
+    if (pl.blockLastDoc(blockIdx) < target) {
+      // binary search the first block whose last >= target
+      var lo = blockIdx + 1
+      var hi = nBlocks - 1
+      if (lo >= nBlocks || pl.blockLastDoc(hi) < target) { exhaustedFlag = true; return }
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (pl.blockLastDoc(mid) < target) lo = mid + 1 else hi = mid
+      }
+      loadBlock(lo)
+    }
+    while (docsInBlock(pos) < target) {
+      pos += 1
+      if (pos >= docsInBlock.length) { loadBlock(blockIdx + 1); if (exhaustedFlag) return }
+    }
+  }
+
+  /** Move past the current block without decoding it further (BMW shallow
+    * advance): position at first doc > boundary.
+    */
+  def shallowAdvancePast(boundary: Long): Unit = advanceTo(boundary + 1)
+}

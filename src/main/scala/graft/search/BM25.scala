@@ -77,10 +77,10 @@ object BM25 {
       .crossJoin(broadcast(stats))
       .groupBy(col(docCol))
       .agg(sum(idfCol(col("n"), col("df")) * tfNorm(col("tf"), col("dl"), col("avgdl"), p)).as("score"))
-    val rounded =
-      if (roundTo >= 0) scored.withColumn("score", round(col("score"), roundTo))
-      else scored
-    rounded.orderBy(col("score").desc, col(docCol).asc).limit(k)
+    // top-k selection on the UNROUNDED score (ties → ascending docId);
+    // rounding is display-only so both engines pick the same k docs
+    val top = scored.orderBy(col("score").desc, col(docCol).asc).limit(k)
+    if (roundTo >= 0) top.withColumn("score", round(col("score"), roundTo)) else top
   }
 
   /** SQL-replayable tokenization of a (docCol, textCol) frame into

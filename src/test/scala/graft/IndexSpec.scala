@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.corpus.CodeCorpus
+import graft.index.{IndexBuilder, Stage}
+import graft.search.BM25
+import java.nio.file.{Files, Paths}
+
+/** End-to-end inverted-index tests over the synthesized code corpus:
+  * build → WAND top-k rank-identical to exhaustive BM25 → resume.
+  */
+class IndexSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  val nFiles = 600L
+  lazy val tmp: String = Files.createTempDirectory("graft-index").toString
+  lazy val index = IndexBuilder.build(
+    spark, CodeCorpus.generate(spark, nFiles, 42L, 8), s"$tmp/idx",
+    corpusFp = s"synthetic:42:$nFiles",
+    IndexBuilder.Params(docsPerShard = 128L, numParts = 8))
+
+  /** Exhaustive BM25 straight from the docs table (independent path —
+    * tokens recomputed, not read from the index).
+    */
+  def oracleTopK(qTerms: Seq[String], k: Int) = {
+    val docs = index.docs.select(col("docId").as("doc_id"), col("content"))
+    import spark.implicits._
+    val toks = docs.as[(Long, String)]
+      .flatMap { case (id, c) => graft.tokenize.CodeTokenizer.codeTokens(c).map(t => (id, t)) }
+      .toDF("doc_id", "term")
+    BM25.scoreExact(BM25.termFreq(toks), BM25.docLengths(toks), qTerms, k, roundTo = -1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  def wand(qTerms: Seq[String], k: Int) =
+    index.wandTopK(qTerms, k).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("build completes with per-stage lineage") {
+    index // force
+    for (s <- Seq("docs", "doclens", "postings", "termstats")) {
+      assert(Files.exists(Paths.get(s"$tmp/idx/$s/_SUCCESS_STAGE")), s)
+      assert(Files.exists(Paths.get(s"$tmp/idx/$s/_lineage.json")), s)
+    }
+    assert(index.nDocs == nFiles)
+    assert(index.avgdl > 10)
+  }
+
+  test("sha256 invariant holds on the docs stage") {
+    val bad = index.docs
+      .filter(sha2(col("content"), 256) =!= col("sha256")).count()
+    assert(bad == 0)
+  }
+
+  test("WAND top-k rank-identical to exhaustive BM25 (hot, medium, needle, multi-term)") {
+    val needle = CodeCorpus.needleToken(42L, 17L)
+    val queries = Seq(
+      Seq("get"), // hottest stem
+      Seq("spectral", "centroid"), // tail stems
+      Seq("needle", graft.tokenize.CodeTokenizer.codeTokens(needle)(1)), // needle subtokens
+      Seq("data", "index", "merge"), // multi-term medium
+      Seq("get", "value", "data", "scan", "nosuchterm"))
+    for (q <- queries; k <- Seq(3, 8, 10)) {
+      val want = oracleTopK(q, k)
+      val got = wand(q, k)
+      assert(got.map(_._1) == want.map(_._1), s"q=$q k=$k: $got vs $want")
+      got.zip(want).foreach { case ((_, gs), (_, ws)) => assert(math.abs(gs - ws) < 1e-9) }
+    }
+  }
+
+  test("needle subtoken query retrieves exactly its file") {
+    val needle = CodeCorpus.needleToken(42L, 23L)
+    val hex = graft.tokenize.CodeTokenizer.codeTokens(needle)(1) // the hex part
+    val got = wand(Seq(hex), 3)
+    assert(got.size >= 1)
+    val top = index.docs.filter(col("docId") === got.head._1).collect()(0)
+    assert(top.getAs[String]("content").contains(needle))
+  }
+
+  test("exactTopK (decode path) agrees with wandTopK") {
+    for (q <- Seq(Seq("get", "set"), Seq("lambda", "energy", "graph"))) {
+      val a = index.exactTopK(q, 10).collect().map(_.getLong(0)).toSeq
+      val b = wand(q, 10).map(_._1)
+      assert(a == b, s"q=$q")
+    }
+  }
+
+  test("rebuild with same fingerprint skips all stages") {
+    index // force first build
+    val fp = Stage.fingerprintOf(s"synthetic:42:$nFiles",
+      IndexBuilder.Params(docsPerShard = 128L, numParts = 8).fingerprint)
+    for (s <- Seq("docs", "doclens", "postings", "termstats"))
+      assert(Stage.isComplete(s"$tmp/idx/$s", fp), s)
+    val r = Stage.run(s"$tmp/idx/docs", "docs", fp) { fail("must not recompute"); 0L }
+    assert(r.skipped)
+  }
+
+  test("resume recomputes only an interrupted stage") {
+    index // force
+    // simulate a mid-build crash: termstats incomplete
+    Files.delete(Paths.get(s"$tmp/idx/termstats/_SUCCESS_STAGE"))
+    val docsLineage = Files.readString(Paths.get(s"$tmp/idx/docs/_lineage.json"))
+    val idx2 = IndexBuilder.build(
+      spark, sys.error("corpus must not be regenerated on resume"), s"$tmp/idx",
+      corpusFp = s"synthetic:42:$nFiles",
+      IndexBuilder.Params(docsPerShard = 128L, numParts = 8))
+    assert(Files.exists(Paths.get(s"$tmp/idx/termstats/_SUCCESS_STAGE")))
+    // docs stage untouched (lineage identical), and queries still work
+    assert(Files.readString(Paths.get(s"$tmp/idx/docs/_lineage.json")) == docsLineage)
+    assert(idx2.wandTopK(Seq("get"), 3).count() == 3)
+  }
+
+  test("docId assignment is deterministic across rebuilds") {
+    val t2 = Files.createTempDirectory("graft-index2").toString
+    val idx2 = IndexBuilder.build(
+      spark, CodeCorpus.generate(spark, nFiles, 42L, 3), s"$t2/idx",
+      corpusFp = s"synthetic:42:$nFiles",
+      IndexBuilder.Params(docsPerShard = 128L, numParts = 8))
+    val a = index.docs.select("docId", "repo", "path", "commit").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val b = idx2.docs.select("docId", "repo", "path", "commit").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+}

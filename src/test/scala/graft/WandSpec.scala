@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.{PostingCursor, PostingFormat}
+import graft.search.{BM25, Wand}
+import scala.util.Random
+
+/** Local (no Spark) tests: posting-list encode/decode round-trip, cursor
+  * skipping, and block-max WAND == brute-force top-k on randomized
+  * corpora (the WAND-never-changes-the-top-k assertion of SURVEY.md §7.2
+  * phase 5).
+  */
+class WandSpec extends AnyFunSuite {
+  val rnd = new Random(7)
+  val params = BM25.Params()
+
+  /** Random corpus: docId -> (term -> tf), plus doc lengths. */
+  def randomCorpus(nDocs: Int, nTerms: Int, density: Double): (Map[Long, Map[String, Long]], Map[Long, Long]) = {
+    val docs = (0L until nDocs.toLong).map { d =>
+      val terms = (0 until nTerms).flatMap { t =>
+        if (rnd.nextDouble() < density) Some(s"t$t" -> (1L + rnd.nextInt(5).toLong)) else None
+      }.toMap
+      d -> terms
+    }.toMap
+    val dls = docs.map { case (d, ts) => d -> math.max(1L, ts.values.sum) }
+    (docs, dls)
+  }
+
+  def buildLists(docs: Map[Long, Map[String, Long]], dls: Map[Long, Long], avgdl: Double) = {
+    val byTerm = docs.toSeq
+      .flatMap { case (d, ts) => ts.map { case (t, tf) => (t, d, tf) } }
+      .groupBy(_._1)
+    byTerm.map { case (t, xs) =>
+      val sorted = xs.sortBy(_._2)
+      t -> PostingFormat.encode(t, 0,
+        sorted.map(_._2).toArray, sorted.map(_._3).toArray,
+        sorted.map(x => dls(x._2)).toArray, params, avgdl)
+    }
+  }
+
+  def bruteTopK(docs: Map[Long, Map[String, Long]], dls: Map[Long, Long],
+      idf: Map[String, Double], avgdl: Double, q: Seq[String], k: Int): Seq[(Long, Double)] = {
+    docs.toSeq.flatMap { case (d, ts) =>
+      val contribs = q.sorted.flatMap(t => ts.get(t).map(tf =>
+        idf(t) * PostingFormat.partial(tf.toDouble, dls(d).toDouble, params, avgdl)))
+      if (contribs.isEmpty) None else Some(d -> contribs.sum)
+    }.sortBy { case (d, s) => (-s, d) }.take(k)
+  }
+
+  test("posting list encode/decode round-trip incl. multi-block lists") {
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(700) // crosses the 128-doc block size
+      val ids = Array.fill(n)(1L + rnd.nextInt(50).toLong).scanLeft(-1L)(_ + _).tail.map(_ + 1)
+      val tfs = Array.fill(n)(1L + rnd.nextInt(9).toLong)
+      val dls = Array.fill(n)(5L + rnd.nextInt(200).toLong)
+      val pl = PostingFormat.encode("x", 3, ids, tfs, dls, params, 50.0)
+      assert(pl.df == n)
+      val (i2, t2, d2) = PostingFormat.decodeAll(pl)
+      assert(i2.toSeq == ids.toSeq && t2.toSeq == tfs.toSeq && d2.toSeq == dls.toSeq)
+      // block-max invariant: every partial <= its block max <= maxPartial
+      val nb = pl.blockLen.length
+      assert(nb == (n + 127) / 128)
+      for (b <- 0 until nb; i <- 0 until pl.blockLen(b)) {
+        val pos = b * 128 + i
+        val p = PostingFormat.partial(tfs(pos).toDouble, dls(pos).toDouble, params, 50.0)
+        assert(p <= pl.blockMaxPartial(b) + 1e-15)
+        assert(pl.blockMaxPartial(b) <= pl.maxPartial + 1e-15)
+      }
+    }
+  }
+
+  test("cursor advanceTo skips blocks correctly") {
+    val n = 1000
+    val ids = (0 until n).map(i => i.toLong * 3 + 1).toArray // 1, 4, 7, ...
+    val tfs = Array.fill(n)(1L)
+    val dls = Array.fill(n)(10L)
+    val pl = PostingFormat.encode("x", 0, ids, tfs, dls, params, 10.0)
+    val c = new PostingCursor(pl, params, 10.0, 1.0)
+    c.advanceTo(500)
+    assert(c.docId == 502) // first id >= 500: 502 = 3*167+1
+    c.advanceTo(2998)
+    assert(c.docId == 2998)
+    c.advanceTo(ids.last + 10)
+    assert(c.exhausted)
+  }
+
+  test("cursor sequential next() visits every posting") {
+    val ids = (1L to 300L).toArray
+    val pl = PostingFormat.encode("x", 0, ids, ids.map(_ => 1L), ids.map(_ => 10L), params, 10.0)
+    val c = new PostingCursor(pl, params, 10.0, 1.0)
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    while (!c.exhausted) { seen += c.docId; c.next() }
+    assert(seen.toSeq == ids.toSeq)
+  }
+
+  test("block-max WAND == brute force on random corpora (rank + score)") {
+    for (trial <- 1 to 30) {
+      val nDocs = 50 + rnd.nextInt(900)
+      val nTerms = 3 + rnd.nextInt(10)
+      val (docs, dls) = randomCorpus(nDocs, nTerms, 0.05 + rnd.nextDouble() * 0.3)
+      val avgdl = dls.values.sum.toDouble / dls.size
+      val lists = buildLists(docs, dls, avgdl)
+      val n = nDocs.toDouble
+      val dfm = lists.map { case (t, pl) => t -> pl.df.toDouble }
+      val idf = dfm.map { case (t, df) => t -> BM25.idf(n, df) }
+      val qSize = 1 + rnd.nextInt(4)
+      val q = rnd.shuffle(lists.keys.toList).take(qSize)
+      for (k <- Seq(1, 3, 10)) {
+        val want = bruteTopK(docs, dls, idf, avgdl, q, k)
+        val got = Wand.topKLists(q.flatMap(lists.get), idf, params, avgdl, k)
+          .map(h => (h.docId, h.score)).toSeq
+        assert(got.map(_._1) == want.map(_._1),
+          s"trial=$trial k=$k q=$q: ${got.take(5)} vs ${want.take(5)}")
+        got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+          assert(math.abs(gs - ws) < 1e-9)
+        }
+      }
+    }
+  }
+
+  test("WAND handles terms absent from corpus and k > matches") {
+    val (docs, dls) = randomCorpus(20, 3, 0.5)
+    val avgdl = dls.values.sum.toDouble / dls.size
+    val lists = buildLists(docs, dls, avgdl)
+    val idf = lists.map { case (t, pl) => t -> BM25.idf(20.0, pl.df.toDouble) }
+    val got = Wand.topKLists(List("t0").flatMap(lists.get), idf, params, avgdl, 1000)
+    val matching = docs.count(_._2.contains("t0"))
+    assert(got.length == matching)
+    assert(Wand.topKLists(Nil, idf, params, avgdl, 5).isEmpty)
+  }
+}

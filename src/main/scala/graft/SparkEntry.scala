@@ -62,8 +62,54 @@ object SparkEntry {
     // compressed path is exact)
     "wand_topk" -> ((s, dir) => {
       documentsIndex(s, dir).wandTopK(Seq("stream", "merge", "window"), 10, roundTo = 4)
+    }),
+
+    // -- dense vector regime over the embeddings table -------------------
+    "cosine_topk" -> ((s, dir) => {
+      val items = embeddingItems(s, dir)
+      val q = items.filter(_._1 == 0L).head()._2
+      graft.lambda.DenseLambda.cosineTopK(items, q, 10)
+        .withColumn("cos", round(col("cos"), 6))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    // λτ spectral index per item (not SQL-expressible: graph Laplacian +
+    // synthetic λ; driver records rows-only check)
+    "lambda_dense" -> ((s, dir) => {
+      val items = embeddingItems(s, dir)
+      graft.lambda.DenseLambda.build(s, items,
+        graft.lambda.DenseLambda.Config(maxClusters = 16)).lambdas
+    }),
+    // λ-aware blended search (α=0.9), reference Q1 semantics
+    "lambda_search" -> ((s, dir) => {
+      val items = embeddingItems(s, dir)
+      val built = graft.lambda.DenseLambda.build(s, items,
+        graft.lambda.DenseLambda.Config(maxClusters = 16))
+      val q = items.filter(_._1 == 0L).head()._2
+      val lq = graft.lambda.DenseLambda.queryLambda(q, built)
+      graft.lambda.DenseLambda.searchLambdaAware(items, built, q, lq, 10, alpha = 0.9)
+    }),
+    // per-doc λτ over the term-cooccurrence graph (north-star signal)
+    "doc_lambda" -> ((s, dir) => documentsLambda(s, dir).lambdas),
+    // BM25 + λ blended top-k (α=0.7) over the documents index
+    "blended_topk" -> ((s, dir) => {
+      documentsLambda(s, dir)
+        .blendedTopK(documentsIndex(s, dir), "stream merge window", 10, alpha = 0.7)
     })
   )
+
+  def embeddingItems(s: SparkSession, dir: String) = {
+    import s.implicits._
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+  }
+
+  def documentsLambda(s: SparkSession, dir: String): graft.lambda.LambdaIndex = {
+    val sfName = new java.io.File(dir).getName
+    graft.lambda.LambdaPipeline.build(s, documentsIndex(s, dir),
+      s"/tmp/graft_doclam_$sfName",
+      graft.lambda.LambdaPipeline.Config(vocabSize = 256, maxClusters = 16, seed = 42L))
+  }
 
   /** Inverted index over the documents table (built once per sf dir into
     * /tmp and resumed on later calls via stage lineage).
@@ -108,7 +154,20 @@ object SparkEntry {
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term)
         |SELECT term, count(*) AS df FROM tf GROUP BY term""".stripMargin,
     "bm25_topk" -> bm25OracleSql(Seq("spark", "query", "vector"), 10),
-    "wand_topk" -> bm25OracleSql(Seq("stream", "merge", "window"), 10)
+    "wand_topk" -> bm25OracleSql(Seq("stream", "merge", "window"), 10),
+    // embeddings are fixed 64-dim across all sf dirs
+    "cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |idx AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+        |pairs AS (
+        |  SELECT e.vec_id,
+        |    sum(CAST(e.embedding[idx.i] AS DOUBLE) * CAST(q.qe[idx.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(e.embedding[idx.i] AS DOUBLE) * CAST(e.embedding[idx.i] AS DOUBLE)) AS na,
+        |    sum(CAST(q.qe[idx.i] AS DOUBLE) * CAST(q.qe[idx.i] AS DOUBLE)) AS nb
+        |  FROM embeddings e CROSS JOIN q CROSS JOIN idx
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM pairs
+        |ORDER BY pairs.dot / (sqrt(pairs.na) * sqrt(pairs.nb)) DESC, vec_id ASC LIMIT 10""".stripMargin
   )
 
   /** DuckDB BM25 oracle: same formula, same tokenizer, same tie-break. */

@@ -89,6 +89,7 @@ object IndexBuilder {
         "numParts" -> p.numParts.toString,
         "k1" -> p.bm25.k1.toString,
         "b" -> p.bm25.b.toString,
+        "tokenizer" -> p.tokenizer,
         "fingerprint" -> fp))
       st.getLong(0)
     }
@@ -184,15 +185,16 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
     if (roundTo >= 0) top.withColumn("score", round($"score", roundTo)) else top
   }
 
-  /** Exhaustive decode-and-score over the compressed lists (no WAND
-    * pruning) — the correctness oracle for wandTopK.
+  /** Exhaustive decode-and-score of every doc matching ≥1 query term:
+    * (doc_id, bm25). No pruning — feeds re-rankers (λ blend) and serves
+    * as the correctness oracle for wandTopK.
     */
-  def exactTopK(qTerms: Seq[String], k: Int): DataFrame = {
+  def scoreAllMatching(qTerms: Seq[String]): DataFrame = {
     val terms = qTerms.distinct
     val idf = idfFor(terms)
     val p = bm25
     val ad = avgdl
-    val scores = postings
+    postings
       .filter($"term".isin(terms: _*))
       .flatMap { pl =>
         val w = idf(pl.term)
@@ -202,9 +204,15 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
         }
       }
       .toDF("doc_id", "term", "contrib")
-      // deterministic per-doc sum order: sort contributions by term
       .groupBy($"doc_id")
-      .agg(sum($"contrib").as("score"))
-    scores.orderBy($"score".desc, $"doc_id".asc).limit(k)
+      .agg(sum($"contrib").as("bm25"))
   }
+
+  /** Exhaustive top-k (no WAND pruning) — correctness oracle for
+    * wandTopK.
+    */
+  def exactTopK(qTerms: Seq[String], k: Int): DataFrame =
+    scoreAllMatching(qTerms)
+      .select($"doc_id", $"bm25".as("score"))
+      .orderBy($"score".desc, $"doc_id".asc).limit(k)
 }

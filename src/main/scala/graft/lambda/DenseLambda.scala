@@ -1,0 +1,95 @@
+package graft.lambda
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's native dense-vector regime, Spark-side: items are
+  * fixed-width f64 vectors; clustering reduces N items to X centroids;
+  * the transposed X×F centroid matrix yields an F-node feature graph
+  * (the canonical-path transpose, /root/reference/src/graph.rs:170-172 +
+  * laplacian.rs:186 — SURVEY.md §0 "critical structural fact"); each
+  * item's λ is its synthetic λτ over that feature graph; search blends
+  * cosine and λ-proximity.
+  *
+  * Used for parity tests against reference invariants (λ ∈ [0,1],
+  * Rayleigh scale-invariance, α=1 ≡ cosine ranking, k/descending/
+  * tie-break semantics) on the embeddings table, and exposed as engine
+  * operators (cosine / λ-aware / range search) in SparkEntry.
+  */
+object DenseLambda {
+
+  case class Config(
+      maxClusters: Int = 32,
+      sampleSize: Int = 1000,
+      seed: Long = 42L,
+      tau: TauMode = TauMode.Median,
+      graph: GraphBuilder.GraphParams =
+        GraphBuilder.GraphParams(eps = 1.0, topk = 6, sigma = None))
+
+  /** Built artifact: the broadcastable feature-graph CSR + per-item λ. */
+  case class Built(csr: Csr, tau: TauMode, nFeatures: Int, lambdas: DataFrame)
+
+  def build(spark: SparkSession, items: Dataset[(Long, Array[Double])],
+      cfg: Config = Config()): Built = {
+    import spark.implicits._
+    // stage 1: clustering (N items → X centroids), seeded + deterministic
+    val sample = SeededKMeans.sampleRows(items, cfg.sampleSize, cfg.seed)
+    require(sample.nonEmpty, "empty item set")
+    val x = math.min(cfg.maxClusters, SeededKMeans.optimalK(sample, cfg.seed, cfg.maxClusters))
+    val model = SeededKMeans.fitLocal(sample, x, cfg.seed)
+    // stage 2: transpose X×F → F feature nodes with X-dim signatures
+    val f = sample(0).length
+    val transposed = Array.tabulate(f)(j => Array.tabulate(model.k)(c => model.centroids(c)(j)))
+    val csr = GraphBuilder.buildLaplacian(spark, transposed, cfg.graph)
+    // stage 3: per-item λτ (dense formula; τ from the item's own values)
+    val bCsr = spark.sparkContext.broadcast(csr)
+    val mode = cfg.tau
+    val lambdas = items.map { case (id, v) =>
+      val tau = TauMode.selectTau(v, mode)
+      (id, TauMode.syntheticLambdaDense(v, bCsr.value, tau))
+    }.toDF("id", "lambda")
+    Built(csr, mode, f, lambdas)
+  }
+
+  /** prepare_query_item analog: λ of a query vector. */
+  def queryLambda(q: Array[Double], built: Built): Double = {
+    require(q.forall(x => java.lang.Double.isFinite(x)), "query must be finite")
+    val tau = TauMode.selectTau(q, built.tau)
+    TauMode.syntheticLambdaDense(q, built.csr, tau)
+  }
+
+  /** Lambda-aware top-k (search_lambda_aware, core.rs:760-798): full scan
+    * scoring α·cos + (1−α)·(1−min(|Δλ|,1)), order by score DESC, id ASC.
+    */
+  def searchLambdaAware(items: Dataset[(Long, Array[Double])], built: Built,
+      q: Array[Double], lambdaQ: Double, k: Int, alpha: Double): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    require(lambdaQ != 0.0, "lambda of the query is 0.0, prepare the item before searching")
+    val bq = spark.sparkContext.broadcast(q)
+    val scored = items.map { case (id, v) =>
+      val cos = GraphBuilder.cosine(bq.value, v)
+      (id, v, cos)
+    }.toDF("id", "vec", "cos")
+      .join(built.lambdas, "id")
+      .withColumn("score",
+        lit(alpha) * col("cos") +
+          lit(1.0 - alpha) * (lit(1.0) - least(abs(lit(lambdaQ) - col("lambda")), lit(1.0))))
+      .select(col("id"), col("score"))
+    scored.orderBy(col("score").desc, col("id").asc).limit(k)
+  }
+
+  /** Pure cosine top-k baseline (the reference benches' ground truth). */
+  def cosineTopK(items: Dataset[(Long, Array[Double])], q: Array[Double], k: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(q)
+    items.map { case (id, v) => (id, GraphBuilder.cosine(bq.value, v)) }
+      .toDF("id", "cos")
+      .orderBy(col("cos").desc, col("id").asc).limit(k)
+  }
+
+  /** One-sided λ range search (core.rs:944-976 quirk: λq − λd ≤ eps). */
+  def rangeSearch(built: Built, lambdaQ: Double, eps: Double): DataFrame =
+    built.lambdas.filter(lit(lambdaQ) - col("lambda") <= eps)
+}

@@ -1,0 +1,156 @@
+package graft.lambda
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cosine-kNN graph Laplacian construction over "nodes with signature
+  * vectors" — the reference's recipe (SURVEY.md §7.1 item 3) with every
+  * code-normative quirk kept:
+  *
+  *  - rectified cosine distance d = 1 − max(0, cos) —
+  *    /root/reference/src/laplacian.rs:72-75;
+  *  - per node keep topk+1 nearest (self removed), drop d > eps —
+  *    laplacian.rs:243-253;
+  *  - kernel weight w = 1/(1+(d/σ)^p) with σ defaulting to 1.0 (NOT eps;
+  *    Appendix A D3) — laplacian.rs:254; drop w ≤ 1e-12;
+  *  - symmetrize with max(w_ij, w_ji) (standardized; SURVEY.md §2.4 G3);
+  *  - optional degree-score sparsification when avg degree > 10: keep the
+  *    top `ratio` edges per node by w·√(deg_i·deg_j), at least one edge
+  *    per node — laplacian.rs:229-279, sparsification.rs:32-113;
+  *  - L = D − W with D_ii = Σ_j w_ij — laplacian.rs:349-417.
+  *
+  * The kNN runs distributed (each partition of nodes scans a broadcast
+  * copy of all signatures — exact blocked kNN; node count F is capped by
+  * vocabulary pruning so the signature matrix stays broadcastable, which
+  * mirrors the reference where the node count is bounded by clustering /
+  * JL reduction). Edge algebra (symmetrize, sparsify, degree sums) runs
+  * as DataFrame ops; the final COO collect is O(F·k) — small.
+  */
+object GraphBuilder {
+
+  case class GraphParams(
+      eps: Double = 1e-3,
+      k: Int = 6,
+      topk: Int = 3,
+      p: Double = 2.0,
+      sigma: Option[Double] = None,
+      normalise: Boolean = false,
+      sparsifyRatio: Double = 0.5) {
+    def fingerprint: String = s"eps=$eps;k=$k;topk=$topk;p=$p;sigma=$sigma;norm=$normalise"
+  }
+
+  /** Z-score columns (the reference's `normalise` is a StandardScaler,
+    * not unit-norm — Appendix A D6).
+    */
+  def standardScale(rows: Array[Array[Double]]): Array[Array[Double]] = {
+    if (rows.isEmpty) return rows
+    val n = rows.length
+    val d = rows(0).length
+    val mean = new Array[Double](d)
+    val std = new Array[Double](d)
+    for (j <- 0 until d) {
+      var s = 0.0
+      rows.foreach(r => s += r(j))
+      mean(j) = s / n
+      var v = 0.0
+      rows.foreach(r => { val x = r(j) - mean(j); v += x * x })
+      // sample std (n-1) as smartcore's StandardScaler uses
+      std(j) = math.sqrt(if (n > 1) v / (n - 1) else 0.0)
+    }
+    rows.map { r =>
+      Array.tabulate(d)(j => if (std(j) > 1e-12) (r(j) - mean(j)) / std(j) else r(j) - mean(j))
+    }
+  }
+
+  @inline def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na <= 0.0 || nb <= 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  @inline def rectifiedCosineDistance(a: Array[Double], b: Array[Double]): Double =
+    1.0 - math.max(0.0, cosine(a, b))
+
+  /** Distributed exact kNN adjacency: one task per slice of nodes, each
+    * scanning the broadcast signature matrix. Returns directed candidate
+    * edges (i, j, w).
+    */
+  def knnEdges(spark: SparkSession, signatures: Array[Array[Double]],
+      params: GraphParams): Dataset[(Int, Int, Double)] = {
+    import spark.implicits._
+    val sigs0 = if (params.normalise) standardScale(signatures) else signatures
+    val bSigs = spark.sparkContext.broadcast(sigs0)
+    val n = sigs0.length
+    val sigma = params.sigma.getOrElse(1.0)
+    val (eps, p, topk) = (params.eps, params.p, params.topk)
+    val parts = math.min(n, spark.sparkContext.defaultParallelism * 2)
+    spark.range(0, n.toLong, 1L, math.max(parts, 1)).flatMap { iL =>
+      val i = iL.toInt
+      val sigs = bSigs.value
+      val self = sigs(i)
+      // top (topk+1) nearest by distance, then filter self / eps
+      val cand = new Array[(Int, Double)](sigs.length)
+      var j = 0
+      while (j < sigs.length) {
+        cand(j) = (j, rectifiedCosineDistance(self, sigs(j)))
+        j += 1
+      }
+      val nearest = cand.sortBy { case (jj, d) => (d, jj) }.take(topk + 1)
+      nearest.iterator
+        .filter { case (jj, d) => jj != i && d <= eps }
+        .map { case (jj, d) =>
+          val w = 1.0 / (1.0 + math.pow(d / sigma, p))
+          (i, jj, w)
+        }
+        .filter(_._3 > 1e-12)
+    }
+  }
+
+  /** Full pipeline → CSR Laplacian (collected + constructable on driver,
+    * intended for broadcast).
+    */
+  def buildLaplacian(spark: SparkSession, signatures: Array[Array[Double]],
+      params: GraphParams): Csr = {
+    import spark.implicits._
+    val n = signatures.length
+    val directed = knnEdges(spark, signatures, params).toDF("i", "j", "w")
+    // symmetrize with max(w_ij, w_ji)
+    val sym = directed
+      .union(directed.select($"j".as("i"), $"i".as("j"), $"w"))
+      .groupBy($"i", $"j").agg(max($"w").as("w"))
+    val symEdges = sym.as[(Int, Int, Double)].collect()
+    val afterSparsify = sparsify(symEdges, n, params.sparsifyRatio)
+    toLaplacian(n, afterSparsify)
+  }
+
+  /** Degree-score sparsification (driver-local over O(F·k) edges). Skips
+    * when avg degree < 10 (sparsification.rs:46-52). Keeps symmetry by
+    * retaining an edge if EITHER endpoint keeps it.
+    */
+  def sparsify(symEdges: Array[(Int, Int, Double)], n: Int, ratio: Double): Array[(Int, Int, Double)] = {
+    val deg = new Array[Int](n)
+    symEdges.foreach { case (i, _, _) => deg(i) += 1 }
+    val avgDeg = if (n == 0) 0.0 else symEdges.length.toDouble / n
+    if (avgDeg < 10.0) return symEdges
+    val byNode = symEdges.groupBy(_._1)
+    val kept = new scala.collection.mutable.HashSet[(Int, Int)]()
+    byNode.foreach { case (i, edges) =>
+      val scored = edges.sortBy { case (_, j, w) => (-w * math.sqrt(deg(i).toDouble * deg(j)), j) }
+      val keep = math.max(1, math.ceil(edges.length * ratio).toInt)
+      scored.take(keep).foreach { case (a, b, _) => kept += ((math.min(a, b), math.max(a, b))) }
+    }
+    symEdges.filter { case (i, j, _) => kept.contains((math.min(i, j), math.max(i, j))) }
+  }
+
+  /** L = D − W from symmetric undirected edge list (both directions
+    * present).
+    */
+  def toLaplacian(n: Int, symEdges: Array[(Int, Int, Double)]): Csr = {
+    val degSum = new Array[Double](n)
+    symEdges.foreach { case (i, _, w) => degSum(i) += w }
+    val coo = symEdges.iterator.map { case (i, j, w) => (i, j, -w) } ++
+      (0 until n).iterator.map(i => (i, i, degSum(i)))
+    Csr.fromCoo(n, coo.toSeq)
+  }
+}

@@ -1,0 +1,236 @@
+package graft.lambda
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.{IndexBuilder, InvertedIndex, Stage}
+import graft.search.BM25
+import graft.tokenize.CodeTokenizer
+import graft.util.Hashing
+
+/** The λτ secondary-signal pipeline over an inverted index (north star:
+  * "arrowspace's Rayleigh-quotient lambda … re-derived as a typed
+  * Catalyst aggregation over a kNN term-cooccurrence graph Laplacian and
+  * used as the same secondary re-ranking signal").
+  *
+  * Stage map (each checkpointed with lineage like the index build):
+  *   vocab/      top-F terms by (df DESC, term ASC) → graph node ids
+  *   docterms/   (docId, termIdx, weight=tf) over the pruned vocabulary
+  *   clusters/   deterministic seeded k-means over hashed doc vectors
+  *               (docs ≙ the reference's items; clusters ≙ centroids)
+  *   graph/      term signatures = tf mass per (termIdx, cluster) → F×X
+  *               matrix → cosine-kNN Laplacian (F×F CSR, broadcastable) —
+  *               the feature-nodes transpose trick of
+  *               /root/reference/src/graph.rs:170-172 with terms as
+  *               features and document clusters as the signature axis
+  *   lambdas/    per-doc λ via the typed LambdaAgg aggregation
+  */
+object LambdaPipeline {
+
+  case class Config(
+      vocabSize: Int = 2048,
+      hashDim: Int = 64,
+      maxClusters: Int = 64,
+      sampleSize: Int = 1000,
+      seed: Long = 42L,
+      tau: TauMode = TauMode.Mean,
+      graph: GraphBuilder.GraphParams =
+        GraphBuilder.GraphParams(eps = 1.0, topk = 6, sigma = None)) {
+    def fingerprint: String =
+      s"V=$vocabSize;h=$hashDim;X=$maxClusters;s=$sampleSize;seed=$seed;tau=$tau;${graph.fingerprint}"
+  }
+
+  /** Deterministic signed feature hashing of a term node into hashDim. */
+  @inline def hashFeature(termIdx: Int, hashDim: Int): (Int, Double) = {
+    val h = Hashing.mix64(0x7465726dL ^ termIdx.toLong)
+    val slot = ((h >>> 1) % hashDim).toInt
+    val sign = if ((h & 1L) == 0L) 1.0 else -1.0
+    (slot, sign)
+  }
+
+  def build(spark: SparkSession, index: InvertedIndex, dir: String,
+      cfg: Config = Config()): LambdaIndex = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    val fp = Stage.fingerprintOf(index.dir, cfg.fingerprint, index.meta("fingerprint"))
+    val tokMode = if (index.meta.getOrElse("tokenizer", "code") == "simple") "simple" else "code"
+
+    // ---- vocab: prune to broadcastable term-node set -------------------
+    Stage.run(s"$dir/vocab", "vocab", fp) {
+      val top = index.termStats
+        .orderBy($"df".desc, $"term".asc).limit(cfg.vocabSize)
+        .collect().map(_.getString(0))
+      top.zipWithIndex.toSeq.toDF("term", "termIdx")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+      top.length.toLong
+    }
+    val vocab: Map[String, Int] = spark.read.parquet(s"$dir/vocab")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val bVocab = spark.sparkContext.broadcast(vocab)
+    val nNodes = vocab.size
+
+    // ---- doc term vectors over the pruned vocab ------------------------
+    Stage.run(s"$dir/docterms", "docterms", fp) {
+      val docs = index.docs.select($"docId", $"content")
+      val fn: String => Array[String] =
+        if (tokMode == "simple") CodeTokenizer.simpleTokens else CodeTokenizer.codeTokens
+      docs.as[(Long, String)]
+        .flatMap { case (id, c) =>
+          val v = bVocab.value
+          fn(c).iterator.flatMap(t => v.get(t)).map(ti => (id, ti))
+        }
+        .toDF("docId", "termIdx")
+        .groupBy($"docId", $"termIdx").agg(count(lit(1)).cast("double").as("weight"))
+        .write.mode("overwrite").parquet(s"$dir/docterms")
+      spark.read.parquet(s"$dir/docterms").count()
+    }
+    def docterms = spark.read.parquet(s"$dir/docterms")
+
+    // ---- doc clustering (items → X centroids) --------------------------
+    Stage.run(s"$dir/clusters", "clusters", fp) {
+      val hd = cfg.hashDim
+      val docVecs = docterms.as[(Long, Int, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (id, it) =>
+          val v = new Array[Double](hd)
+          it.foreach { case (_, ti, w) =>
+            val (slot, sign) = hashFeature(ti, hd)
+            v(slot) += sign * w
+          }
+          (id, v)
+        }
+      val sample = SeededKMeans.sampleRows(docVecs, cfg.sampleSize, cfg.seed)
+      val x = SeededKMeans.optimalK(sample, cfg.seed, cfg.maxClusters)
+      val model = SeededKMeans.fitLocal(sample, x, cfg.seed)
+      SeededKMeans.assignAll(docVecs, model)
+        .withColumnRenamed("id", "docId")
+        .write.mode("overwrite").parquet(s"$dir/clusters")
+      IndexBuilder.writeMeta(s"$dir/clusters.props", Map("X" -> model.k.toString))
+      model.k.toLong
+    }
+    val nClusters = IndexBuilder.readMeta(s"$dir/clusters.props")("X").toInt
+
+    // ---- term signatures + graph Laplacian -----------------------------
+    Stage.run(s"$dir/graph", "graph", fp) {
+      val sig = docterms
+        .join(spark.read.parquet(s"$dir/clusters"), "docId")
+        .groupBy($"termIdx", $"cluster").agg(sum($"weight").as("mass"))
+        .collect()
+      val mat = Array.fill(nNodes)(new Array[Double](nClusters))
+      sig.foreach { r =>
+        mat(r.getAs[Int]("termIdx"))(r.getAs[Int]("cluster")) = r.getAs[Double]("mass")
+      }
+      val csr = GraphBuilder.buildLaplacian(spark, mat, cfg.graph)
+      // persist COO
+      val coo = for {
+        i <- 0 until csr.n
+        k <- csr.indptr(i) until csr.indptr(i + 1)
+      } yield (i.toLong, csr.indices(k).toLong, csr.values(k))
+      coo.toDF("i", "j", "v").coalesce(1).write.mode("overwrite").parquet(s"$dir/graph")
+      IndexBuilder.writeMeta(s"$dir/graph.props",
+        Map("nNodes" -> nNodes.toString, "nnz" -> csr.nnz.toString,
+          "tau" -> cfg.tau.toString))
+      csr.nnz.toLong
+    }
+
+    // ---- per-doc λ (typed aggregation) ---------------------------------
+    Stage.run(s"$dir/lambdas", "lambdas", fp) {
+      val li = new LambdaIndex(spark, dir)
+      val bCsr = spark.sparkContext.broadcast(li.csr)
+      val agg = new LambdaAgg(bCsr, nNodes, cfg.tau)
+      docterms.as[(Long, Int, Double)]
+        .map { case (id, ti, w) => DocTermEntry(id, ti, w) }
+        .groupByKey(_.docId)
+        .agg(agg.toColumn)
+        .toDF("doc_id", "lambda")
+        .write.mode("overwrite").parquet(s"$dir/lambdas")
+      spark.read.parquet(s"$dir/lambdas").count()
+    }
+
+    new LambdaIndex(spark, dir)
+  }
+}
+
+/** Query-side handle over a built λ pipeline directory. */
+class LambdaIndex(spark: SparkSession, val dir: String) {
+  import spark.implicits._
+
+  lazy val vocab: Map[String, Int] = spark.read.parquet(s"$dir/vocab")
+    .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  lazy val graphProps: Map[String, String] = IndexBuilder.readMeta(s"$dir/graph.props")
+
+  lazy val tauMode: TauMode = graphProps("tau") match {
+    case "Mean" => TauMode.Mean
+    case "Median" => TauMode.Median
+    case s if s.startsWith("Fixed") => TauMode.Fixed(s.drop(6).dropRight(1).toDouble)
+    case s if s.startsWith("Percentile") => TauMode.Percentile(s.drop(11).dropRight(1).toDouble)
+    case _ => TauMode.Mean
+  }
+
+  lazy val csr: Csr = {
+    val n = graphProps("nNodes").toInt
+    val coo = spark.read.parquet(s"$dir/graph")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    Csr.fromCoo(n, coo)
+  }
+
+  def lambdas: DataFrame = spark.read.parquet(s"$dir/lambdas")
+
+  /** λ of a query term-multiset (the prepare_query_item analog,
+    * /root/reference/src/core.rs:533-549: τ from the query's own values,
+    * then the same synthetic λ formula).
+    */
+  def queryLambda(qTermCounts: Map[String, Int]): Double = {
+    val pairs = qTermCounts.toSeq
+      .flatMap { case (t, c) => vocab.get(t).map(ti => (ti, c.toDouble)) }
+      .sortBy(_._1)
+    if (pairs.isEmpty) return 0.0
+    val support = pairs.map(_._1).toArray
+    val xs = pairs.map(_._2).toArray
+    val tau = LambdaAgg.tauOverSparse(xs, graphProps("nNodes").toInt, tauMode)
+    TauMode.syntheticLambdaSparse(support, xs, csr, tau)
+  }
+
+  /** Blended top-k: score = α·BM25̂ + (1−α)·(1−min(|λq−λd|,1)) where
+    * BM25̂ normalizes by the query's maximum possible BM25 mass
+    * (Σ_t idf·(k1+1)) so both components live in [0,1]. α=1 reproduces
+    * the pure BM25 ranking exactly (positive scaling preserves order) —
+    * the α=1 ≡ baseline regression the reference itself asserts
+    * (/root/reference/benches/index_compute_bench.rs:148-178).
+    *
+    * Candidates are docs matching ≥1 query term (inverted-index
+    * semantics; the reference's full scan over all items,
+    * core.rs:760-798, is recovered for matching docs — documented
+    * divergence for non-matching docs, which a text engine never
+    * surfaces).
+    */
+  def blendedTopK(index: InvertedIndex, qText: String, k: Int, alpha: Double,
+      roundTo: Int = -1): DataFrame = {
+    val tokMode = index.meta.getOrElse("tokenizer", "code")
+    val fn: String => Array[String] =
+      if (tokMode == "simple") CodeTokenizer.simpleTokens else CodeTokenizer.codeTokens
+    val qTerms = fn(qText).toSeq
+    val qCounts = qTerms.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val lq = queryLambda(qCounts)
+    val idf = index.idfFor(qTerms.distinct)
+    val ubNorm = idf.values.map(_ * (index.bm25.k1 + 1.0)).sum.max(1e-12)
+    val bm25All = index.scoreAllMatching(qTerms.distinct)
+    val scored = bm25All
+      .join(lambdas, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("lambda"))
+      .withColumn("score",
+        lit(alpha) * (col("bm25") / lit(ubNorm)) +
+          lit(1.0 - alpha) * (lit(1.0) - least(abs(lit(lq) - col("lambda")), lit(1.0))))
+      .select(col("doc_id"), col("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    if (roundTo >= 0) top.withColumn("score", round(col("score"), roundTo)) else top
+  }
+
+  /** One-sided λ-band range search (quirk replicated verbatim from
+    * /root/reference/src/core.rs:944-976: keeps docs with λq − λd ≤ eps,
+    * i.e. every doc with λd ≥ λq − eps).
+    */
+  def rangeSearch(lambdaQ: Double, eps: Double): DataFrame =
+    lambdas.filter(lit(lambdaQ) - col("lambda") <= eps)
+}

@@ -1,0 +1,169 @@
+package graft.lambda
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.util.Hashing
+import graft.util.Hashing.Rng
+
+/** Deterministic clustering for the signature stage: a seeded local
+  * Lloyd's k-means fitted on a deterministic sample, then a distributed
+  * nearest-centroid assignment.
+  *
+  * This mirrors the reference's structure — `compute_optimal_k` works on
+  * a ≤1000-row seeded sample (/root/reference/src/clustering.rs:36-72)
+  * and smartcore's seeded KMeans does the fitting
+  * (clustering.rs:505-531) — while avoiding the order-dependent
+  * incremental path (clustering.rs:547-910), whose OS-seeded sampler is
+  * explicitly nondeterministic (sampling.rs:123); reference tests that
+  * need determinism also bypass it (tests/test_energy_search.rs:417-421).
+  * Everything here is a pure function of (data, seed).
+  */
+object SeededKMeans {
+
+  case class Model(centroids: Array[Array[Double]]) extends Serializable {
+    def k: Int = centroids.length
+    /** argmin d², strict < so ties resolve to the lowest cluster index. */
+    def assign(x: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val d = sqDist(x, centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  @inline def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic ≤maxSample rows: order by a seeded hash of the row id
+    * (a seeded shuffle, like clustering.rs:53-58).
+    */
+  def sampleRows(ds: Dataset[(Long, Array[Double])], maxSample: Int, seed: Long): Array[Array[Double]] = {
+    import ds.sparkSession.implicits._
+    ds.map { case (id, v) => (Hashing.hash64(seed, "sample", id.toString), v) }
+      .toDF("h", "v").orderBy("h").limit(maxSample)
+      .select("v").as[Array[Double]].collect()
+  }
+
+  /** Seeded k-means++ init + Lloyd iterations (local; sample-sized). */
+  def fitLocal(points: Array[Array[Double]], k: Int, seed: Long, maxIter: Int = 20): Model = {
+    require(points.nonEmpty)
+    val rng = new Rng(Hashing.mix64(seed ^ 0x6b6d65616e73L))
+    val kk = math.min(k, points.length)
+    // k-means++ seeding
+    val centroids = new Array[Array[Double]](kk)
+    centroids(0) = points(rng.nextInt(points.length)).clone()
+    val minD = Array.fill(points.length)(Double.MaxValue)
+    for (c <- 1 until kk) {
+      var total = 0.0
+      for (i <- points.indices) {
+        val d = sqDist(points(i), centroids(c - 1))
+        if (d < minD(i)) minD(i) = d
+        total += minD(i)
+      }
+      val target = rng.nextDouble() * total
+      var acc = 0.0
+      var chosen = points.length - 1
+      var i = 0
+      var done = false
+      while (i < points.length && !done) {
+        acc += minD(i)
+        if (acc >= target) { chosen = i; done = true }
+        i += 1
+      }
+      centroids(c) = points(chosen).clone()
+    }
+    // Lloyd
+    val dim = points(0).length
+    val assignments = new Array[Int](points.length)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      val model = Model(centroids.toArray)
+      for (i <- points.indices) {
+        val a = model.assign(points(i))
+        if (a != assignments(i)) { assignments(i) = a; changed = true }
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      for (i <- points.indices) {
+        val c = assignments(i)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += points(i)(j); j += 1 }
+      }
+      for (c <- 0 until kk if counts(c) > 0) {
+        centroids(c) = Array.tabulate(dim)(j => sums(c)(j) / counts(c))
+      }
+      iter += 1
+    }
+    Model(centroids)
+  }
+
+  /** Calinski-Harabasz score BGSS/(k−1) ÷ WGSS/(n−k)
+    * (clustering.rs:313-381).
+    */
+  def calinskiHarabasz(points: Array[Array[Double]], model: Model): Double = {
+    val n = points.length
+    val k = model.k
+    if (k <= 1 || n <= k) return 0.0
+    val dim = points(0).length
+    val global = new Array[Double](dim)
+    points.foreach(p => (0 until dim).foreach(j => global(j) += p(j)))
+    (0 until dim).foreach(j => global(j) /= n)
+    var bgss = 0.0
+    var wgss = 0.0
+    val counts = new Array[Int](k)
+    points.foreach { p =>
+      val c = model.assign(p)
+      counts(c) += 1
+      wgss += sqDist(p, model.centroids(c))
+    }
+    for (c <- 0 until k) bgss += counts(c) * sqDist(model.centroids(c), global)
+    (bgss / (k - 1)) / (wgss / (n - k))
+  }
+
+  /** K bounds heuristic (clustering.rs:75-98): k_min = max(2, ⌈√(n/10)⌉),
+    * k_max = min(dims, n/10, √n) (intrinsic-dimension refinement elided),
+    * both clamped sane.
+    */
+  def kBounds(n: Int, dims: Int): (Int, Int) = {
+    val kMin = math.max(2, math.ceil(math.sqrt(n / 10.0)).toInt)
+    val kMax = math.max(kMin,
+      math.min(dims, math.min(n / 10, math.ceil(math.sqrt(n.toDouble)).toInt)))
+    (kMin, kMax)
+  }
+
+  /** CH sweep over candidate k (clustering.rs:167-310, single trial per
+    * k), ties prefer larger k.
+    */
+  def optimalK(points: Array[Array[Double]], seed: Long, maxK: Int): Int = {
+    val (kMin, kMax0) = kBounds(points.length, points(0).length)
+    val kMax = math.min(kMax0, maxK)
+    if (kMax <= kMin) return math.max(2, math.min(kMin, points.length))
+    val candidates = (kMin to kMax by math.max(1, (kMax - kMin) / 6)).distinct
+    var bestK = kMin
+    var bestScore = Double.NegativeInfinity
+    for (k <- candidates) {
+      val m = fitLocal(points, k, seed + k * 1000L)
+      val s = calinskiHarabasz(points, m)
+      if (s >= bestScore) { bestScore = s; bestK = k } // >= ⇒ larger k wins ties
+    }
+    bestK
+  }
+
+  /** Distributed assignment under a broadcast model. */
+  def assignAll(ds: Dataset[(Long, Array[Double])], model: Model): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    ds.map { case (id, v) => (id, b.value.assign(v)) }.toDF("id", "cluster")
+  }
+}

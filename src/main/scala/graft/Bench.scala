@@ -1,24 +1,156 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.corpus.CodeCorpus
+import graft.index.{IndexBuilder, InvertedIndex, Stage}
+import graft.tokenize.CodeTokenizer
+
+/** Benchmark harness (driver contract: print ONE JSON line).
+  *
+  * Two parts:
+  *  1. Headline single-query latencies + a 64-query batch over the
+  *     synthesized code corpus at the driver-provided parallelism.
+  *  2. The north rule's two-cluster-size scaling evidence: the SAME
+  *     build+query job at local[8] (N) and local[32] (4N) on the SAME
+  *     corpus; scaling efficiency = throughput(4N) / (4 × throughput(N)).
+  *
+  * Query classes follow FIXTURES.md §B: Q1 common token, Q2 rare needle,
+  * Q3 multi-term medium, Q4 hottest term, Q5 perturbed-document terms
+  * (the reference's pick_query pattern,
+  * /root/reference/benches/base_index_bench.rs:26-31).
+  */
 object Bench {
+
+  val Seed = 42L
+
+  def newSession(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", math.max(cpus * 2, 8).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** The fixed query batch (deterministic). */
+  def queryBatch(nFiles: Long, n: Int): Seq[(Int, Seq[String])] = {
+    val classes: Seq[Long => Seq[String]] = Seq(
+      _ => Seq("data"), // Q1 common
+      id => Seq(CodeTokenizer.codeTokens(CodeCorpus.needleToken(Seed, id % nFiles))(1)), // Q2 needle
+      id => { // Q3 multi-term medium df
+        val st = CodeCorpus.Stems
+        Seq(st(40 + (id % 20).toInt), st(60 + (id % 15).toInt), st(30 + (id % 10).toInt))
+      },
+      _ => Seq("get"), // Q4 hottest
+      id => { // Q5 terms of doc id with one substitution
+        val f = CodeCorpus.file(Seed, id % nFiles)
+        val ts = CodeTokenizer.codeTokens(f.content).distinct.take(6)
+        ts.dropRight(1) :+ "value"
+      })
+    (0 until n).map(i => (i, classes(i % classes.length)((i / classes.length).toLong)))
+  }
+
+  case class LevelResult(cpus: Int, buildSec: Double, filesPerSec: Double,
+      batchSec: Double, qps: Double, singles: Map[String, Double])
+
+  def benchAt(cpus: Int, nFiles: Long, dirBase: String, singlesToo: Boolean): LevelResult = {
+    val spark = newSession(cpus)
+    try {
+      // small untimed warmup build: JIT + codegen caches, so the first
+      // measured level isn't penalized
+      val wdir = s"$dirBase/warm_cpu$cpus"
+      Stage.deleteRecursive(java.nio.file.Paths.get(wdir))
+      IndexBuilder.build(spark, CodeCorpus.generate(spark, 500, Seed, 16), wdir,
+        corpusFp = s"warm:$Seed", IndexBuilder.Params(docsPerShard = 256L, numParts = 16))
+      val dir = s"$dirBase/idx_cpu$cpus"
+      Stage.deleteRecursive(java.nio.file.Paths.get(dir))
+      val t0 = System.nanoTime()
+      // IDENTICAL job definition at every parallelism level: sharding and
+      // partition counts derive from the corpus, never from cpus, so the
+      // two-cluster-size runs execute the same logical plan
+      val index = IndexBuilder.build(spark,
+        CodeCorpus.generate(spark, nFiles, Seed, 128), dir,
+        corpusFp = s"bench:$Seed:$nFiles",
+        IndexBuilder.Params(docsPerShard = math.max(nFiles / 128, 256L),
+          numParts = 128))
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      // batch QPS (one Spark job for the whole batch)
+      val batch = queryBatch(nFiles, 64)
+      val tb = System.nanoTime()
+      index.wandTopKBatch(batch, 10).count()
+      val batchSec = (System.nanoTime() - tb) / 1e9
+      // single-query latencies (headline classes)
+      val singles =
+        if (!singlesToo) Map.empty[String, Double]
+        else {
+          val cls = Seq(
+            "q1_common" -> Seq("data"),
+            "q2_needle" -> Seq(CodeTokenizer.codeTokens(CodeCorpus.needleToken(Seed, 7L))(1)),
+            "q3_multi" -> Seq("merge", "segment", "filter"),
+            "q4_hot" -> Seq("get"),
+            "q5_perturbed" -> queryBatch(nFiles, 5).last._2)
+          cls.map { case (name, q) =>
+            val t = System.nanoTime()
+            index.wandTopK(q, 10).count()
+            name -> (System.nanoTime() - t) / 1e9
+          }.toMap
+        }
+      LevelResult(cpus, buildSec, nFiles / buildSec, batchSec, 64.0 / batchSec, singles)
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val sf = {
+      val m = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      m.map(_.group(1).toDouble).getOrElse(0.1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val nFiles = math.max(2000L, (200000 * sf).toLong)
+    val tmp = s"/tmp/graft_bench_${(sf * 1000).toInt}"
+    val tTotal = System.nanoTime()
+    // N = 8 cores, 4N = 32 cores on the same corpus
+    val r8 = benchAt(8, nFiles, tmp, singlesToo = false)
+    val r32 = benchAt(32, nFiles, tmp, singlesToo = true)
+    val total = (System.nanoTime() - tTotal) / 1e9
+    val effBuild = r32.filesPerSec / (4.0 * r8.filesPerSec)
+    val effQps = r32.qps / (4.0 * r8.qps)
+    def f(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val singleJson = (r32.singles.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${f(v)}""" } ++ Seq(
+      s""""batch64_n8":${f(r8.batchSec)}""",
+      s""""batch64_n32":${f(r32.batchSec)}""",
+      s""""build_n8":${f(r8.buildSec)}""",
+      s""""build_n32":${f(r32.buildSec)}"""))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val json =
+      s"""{"metric":"build+query total","value":${f(total)},"unit":"sec","queries":$singleJson,""" +
+        s""""sf":"$sfDir","files":$nFiles,""" +
+        s""""build_files_per_sec_n8":${f(r8.filesPerSec)},"build_files_per_sec_n32":${f(r32.filesPerSec)},""" +
+        s""""qps_n8":${f(r8.qps)},"qps_n32":${f(r32.qps)},""" +
+        s""""scaling_efficiency_build":${f(effBuild)},"scaling_efficiency_qps":${f(effQps)}}"""
+    println(json)
+    // human-readable record for BASELINE.md cross-reference
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"),
+        s"""# BENCH — latest local measurements
+           |
+           |Corpus: $nFiles synthesized source files (seed $Seed), sf=$sf.
+           |Same job at two parallelism levels (local[8] = N, local[32] = 4N):
+           |
+           || metric | N=8 cores | 4N=32 cores | efficiency (4N vs 4×N) |
+           || --- | --- | --- | --- |
+           || index build (files/sec) | ${f(r8.filesPerSec)} | ${f(r32.filesPerSec)} | ${f(effBuild)} |
+           || batch-64 WAND top-10 QPS | ${f(r8.qps)} | ${f(r32.qps)} | ${f(effQps)} |
+           |
+           |Single-query latencies at 32 cores (sec):
+           |${r32.singles.toSeq.sortBy(_._1).map { case (k, v) => s"- $k: ${f(v)}" }.mkString("\n")}
+           |""".stripMargin)
+    } catch { case _: Throwable => () }
   }
 }

@@ -94,7 +94,71 @@ object SparkEntry {
     "blended_topk" -> ((s, dir) => {
       documentsLambda(s, dir)
         .blendedTopK(documentsIndex(s, dir), "stream merge window", 10, alpha = 0.7)
-    })
+    }),
+
+    // -- deduplication suite ---------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      graft.ops.Dedup.exactDedup(table(s, dir, "documents"), "text", "doc_id")),
+    "shingle_jaccard" -> ((s, dir) =>
+      graft.ops.Dedup.jaccardPairs(table(s, dir, "documents"), "text", "doc_id", 3, 0.5)),
+    "minhash_lsh" -> ((s, dir) =>
+      graft.ops.Dedup.lshCandidates(graft.ops.Dedup.lshBuckets(
+        graft.ops.Dedup.minhashRows(table(s, dir, "documents"), "text", "doc_id", 3, 16), 4))),
+    "simhash64" -> ((s, dir) =>
+      graft.ops.Dedup.simhash64(table(s, dir, "documents"), "text", "doc_id")),
+    "emb_neardup" -> ((s, dir) =>
+      graft.ops.Dedup.embeddingNearDups(
+        table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        "vec_id", "embedding", 0.4)),
+
+    // -- text analysis ----------------------------------------------------
+    "lang_id" -> ((s, dir) =>
+      graft.ops.TextStats.langId(table(s, dir, "documents"), "text", "doc_id")),
+    "quality" -> ((s, dir) =>
+      graft.ops.TextStats.qualityScore(table(s, dir, "documents"), "text", "doc_id")),
+    "token_counts" -> ((s, dir) =>
+      graft.ops.TextStats.tokenCounts(table(s, dir, "documents"), "text", "doc_id")),
+    "fingerprint" -> ((s, dir) =>
+      graft.ops.TextStats.fingerprint(table(s, dir, "documents"), "text", "doc_id")),
+
+    // -- similarity search over embeddings --------------------------------
+    "ann_ivf" -> ((s, dir) => {
+      val items = embeddingItems(s, dir)
+      val ivf = graft.ops.Similarity.buildIvf(items, nlist = 16)
+      val q = items.filter(_._1 == 0L).head()._2
+      graft.ops.Similarity.ivfTopK(items, ivf, q, 10, nprobe = 4)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val items = embeddingItems(s, dir)
+      val buckets = graft.ops.Similarity.lshBuckets(items, nPlanes = 12)
+      val q = items.filter(_._1 == 0L).head()._2
+      graft.ops.Similarity.lshTopK(items, buckets, q, 10, nPlanes = 12)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
+    // -- event-stream analytics (batch form of the streaming ops) --------
+    "events_window" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("wstart"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))),
+    "events_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // -- multimodal plumbing (decode stage is a documented stub) ---------
+    "mm_decode" -> ((s, dir) =>
+      graft.ops.Multimodal.decode(
+        graft.ops.Multimodal.synthesize(table(s, dir, "documents"), "doc_id", "text")))
   )
 
   def embeddingItems(s: SparkSession, dir: String) = {
@@ -155,6 +219,118 @@ object SparkEntry {
         |SELECT term, count(*) AS df FROM tf GROUP BY term""".stripMargin,
     "bm25_topk" -> bm25OracleSql(Seq("spark", "query", "vector"), 10),
     "wand_topk" -> bm25OracleSql(Seq("stream", "merge", "window"), 10),
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "shingle_jaccard" ->
+      s"""WITH arrs AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+         |  FROM arrs CROSS JOIN generate_series(1, 4096) g(i)
+         |  WHERE i + 2 <= len(arr)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id d1, b.doc_id d2, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jacc
+         |FROM shared JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+         |WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5""".stripMargin,
+    "minhash_lsh" ->
+      s"""WITH arrs AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+         |  FROM arrs CROSS JOIN generate_series(1, 4096) g(i)
+         |  WHERE i + 2 <= len(arr)),
+         |mh AS (
+         |  SELECT doc_id, h, min(md5(h || ':' || shingle)) AS minhash
+         |  FROM sh CROSS JOIN generate_series(0, 15) g(h)
+         |  GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, CAST(floor(h / 4) AS INT) AS band,
+         |    md5(string_agg(h || '_' || minhash, '|' ORDER BY h || '_' || minhash)) AS bucket
+         |  FROM mh GROUP BY 1, 2)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+    "simhash64" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT doc_id, bp,
+        |    CASE WHEN CAST(floor((strpos('0123456789abcdef',
+        |             substr(md5(term), CAST(floor(bp / 4) AS INT) + 1, 1)) - 1)
+        |           / pow(2.0, 3 - (bp % 4))) AS INT) % 2 = 1
+        |         THEN tf ELSE -tf END AS v
+        |  FROM tf CROSS JOIN generate_series(0, 63) g(bp)),
+        |s AS (SELECT doc_id, bp, sum(v) AS s FROM bits GROUP BY 1, 2)
+        |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bp) AS simhash
+        |FROM s GROUP BY doc_id""".stripMargin,
+    "emb_neardup" ->
+      """WITH idx AS (SELECT i FROM generate_series(1, 64) g(i)),
+        |d AS (SELECT a.vec_id v1, b.vec_id v2,
+        |        sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+        |        sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+        |        sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+        |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id CROSS JOIN idx
+        |      GROUP BY 1, 2)
+        |SELECT v1, v2, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM d
+        |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4""".stripMargin,
+    "lang_id" -> {
+      val vals = graft.ops.TextStats.Markers.toSeq.sortBy(_._1)
+        .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |marker(lang, term) AS (VALUES $vals),
+         |counts AS (SELECT doc_id, lang, count(*) AS hits FROM tok JOIN marker USING (term) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, max(hits) AS mh FROM counts GROUP BY 1),
+         |pick AS (SELECT c.doc_id, min(c.lang) AS pred0
+         |         FROM counts c JOIN best b ON c.doc_id = b.doc_id AND c.hits = b.mh GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.pred0, 'und') AS pred_lang
+         |FROM documents d LEFT JOIN pick p ON d.doc_id = p.doc_id""".stripMargin
+    },
+    "quality" -> {
+      val stop = graft.ops.TextStats.Markers("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS DOUBLE) AS ntoks,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+         |    CAST(length(text) AS DOUBLE) AS chars,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |         x -> list_contains([$stop], x))) AS DOUBLE) AS stop
+         |  FROM documents)
+         |SELECT doc_id,
+         |  floor((CASE WHEN ntoks = 0 OR chars = 0 THEN 0.0 ELSE
+         |    0.4 * (alnum / chars) + 0.3 * (stop / ntoks)
+         |      + 0.3 * least((alnum / ntoks) / 8.0, 1.0) END) * 1e6) / 1e6 AS quality
+         |FROM base""".stripMargin
+    },
+    "token_counts" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word_tokens,
+        |  length(regexp_replace(text, '\s', '', 'g')) AS non_space_chars
+        |FROM documents""".stripMargin,
+    "events_window" ->
+      """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+        |  round(sum(value), 4) AS sv
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |FROM flagged GROUP BY user_id""".stripMargin,
     // embeddings are fixed 64-dim across all sf dirs
     "cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -100,11 +100,11 @@ object CodeCorpus {
     (0 until nImports).foreach { _ =>
       sb.append(s"${kw(4 % kw.length)} lib.${snake(rng, 2)}\n")
     }
-    val nFuncs = 2 + rng.nextInt(4)
+    val nFuncs = 6 + rng.nextInt(10)
     (0 until nFuncs).foreach { f =>
       val fname = camel(rng, 2 + rng.nextInt(2))
       sb.append(s"${kw(0)} $fname(${snake(rng, 1)}: ${Stems(rng.nextZipf(nStems)).capitalize}) {\n")
-      val nLines = 2 + rng.nextInt(5)
+      val nLines = 4 + rng.nextInt(8)
       (0 until nLines).foreach { _ =>
         val v = if (rng.nextInt(2) == 0) camel(rng, 2) else snake(rng, 2)
         sb.append(s"  ${kw(1 % kw.length)} $v = ${camel(rng, 1)}(${snake(rng, 1)}, ${rng.nextInt(100)})\n")

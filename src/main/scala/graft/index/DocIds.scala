@@ -30,8 +30,12 @@ object DocIds {
     val parted = files
       .repartition(numParts, $"repo", $"path", $"commit")
       .sortWithinPartitions($"repo", $"path", $"commit")
-    // pass 1: per-partition counts (shuffle is materialized here and
-    // reused by pass 2)
+      // persist across the two passes — separate actions do NOT share
+      // shuffle output, so without this the source would be read and
+      // shuffled twice (at petabyte scale this stage instead writes the
+      // sorted run to storage once and counts per file from footers)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition counts
     val counts: Array[(Int, Long)] = parted
       .mapPartitions { it =>
         var n = 0L; while (it.hasNext) { it.next(); n += 1 }
@@ -42,7 +46,8 @@ object DocIds {
     var acc = 0L
     counts.sortBy(_._1).foreach { case (pid, n) => offsets(pid) = acc; acc += n }
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    // pass 2: attach ids
+    // pass 2: attach ids (consumer materializes; unpersist is left to GC /
+    // session end since the downstream write runs lazily)
     parted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var next = bOffsets.value(pid)

@@ -74,9 +74,19 @@ object IndexBuilder {
     def docs: Dataset[Doc] = spark.read.parquet(s"$dir/docs")
       .select("docId", "repo", "path", "commit", "lang", "content").as[Doc]
 
-    // ---- stage 2: doc lengths + corpus stats --------------------------
+    // ---- stage 2: term frequencies (tokenize ONCE; doclens and postings
+    // both derive from this artifact) ------------------------------------
+    Stage.run(s"$dir/termfreq", "termfreq", fp) {
+      tokens(docs, p.tokenizer)
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$dir/termfreq")
+      spark.read.parquet(s"$dir/termfreq").count()
+    }
+
+    // ---- stage 2b: doc lengths + corpus stats -------------------------
     Stage.run(s"$dir/doclens", "doclens", fp) {
-      val dl = tokens(docs, p.tokenizer).groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val dl = spark.read.parquet(s"$dir/termfreq")
+        .groupBy($"doc_id").agg(sum($"tf").as("dl"))
       dl.write.mode("overwrite").parquet(s"$dir/doclens")
       val st = spark.read.parquet(s"$dir/doclens")
         .agg(count(lit(1)).cast("long").as("n"), avg($"dl").as("avgdl"), sum($"dl").as("toks"))
@@ -98,7 +108,7 @@ object IndexBuilder {
 
     // ---- stage 3: compressed sharded posting lists --------------------
     Stage.run(s"$dir/postings", "postings", fp) {
-      val tf = tokens(docs, p.tokenizer).groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val tf = spark.read.parquet(s"$dir/termfreq")
       val dl = spark.read.parquet(s"$dir/doclens")
       val entries = tf.join(dl, "doc_id")
         .select($"term", ($"doc_id" / lit(p.docsPerShard)).cast("int").as("shard"),
@@ -183,6 +193,42 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
       .toDF("doc_id", "score")
     val top = hits.orderBy($"score".desc, $"doc_id".asc).limit(k)
     if (roundTo >= 0) top.withColumn("score", round($"score", roundTo)) else top
+  }
+
+  /** Batched top-k: run MANY queries in ONE Spark job. Per doc-shard
+    * task, every query's block-max WAND runs against that shard's lists;
+    * a single per-query window selects the global top-k. This amortizes
+    * job-scheduling latency across the batch — the Spark analog of the
+    * reference's batch benches (/root/reference/benches/
+    * index_compute_bench.rs:180-320) and the path that makes cluster QPS
+    * comparable to a single-process engine.
+    *
+    * Returns (qid, doc_id, score) with per-query rank ≤ k, ordered
+    * (score DESC, doc_id ASC) within qid.
+    */
+  def wandTopKBatch(queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allTerms = queries.flatMap(_._2).distinct
+    val idf = idfFor(allTerms)
+    val qList = queries.map { case (qid, ts) => (qid, ts.distinct.filter(idf.contains)) }
+    val p = bm25
+    val ad = avgdl
+    val hits = postings
+      .filter($"term".isin(allTerms: _*))
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val byTerm = it.toSeq.groupBy(_.term)
+        qList.iterator.flatMap { case (qid, ts) =>
+          val lists = ts.flatMap(byTerm.get).flatten
+          if (lists.isEmpty) Iterator.empty
+          else Wand.topKLists(lists, idf, p, ad, k).iterator.map(h => (qid, h.docId, h.score))
+        }
+      }
+      .toDF("qid", "doc_id", "score")
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id".asc)
+    hits.withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"doc_id", $"score", $"rank")
   }
 
   /** Exhaustive decode-and-score of every doc matching ≥1 query term:

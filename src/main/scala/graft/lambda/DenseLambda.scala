@@ -92,4 +92,62 @@ object DenseLambda {
   /** One-sided λ range search (core.rs:944-976 quirk: λq − λd ≤ eps). */
   def rangeSearch(built: Built, lambdaQ: Double, eps: Double): DataFrame =
     built.lambdas.filter(lit(lambdaQ) - col("lambda") <= eps)
+
+  /** Hybrid search (search_lambda_aware_hybrid, core.rs:802-928): union of
+    * the λ-blended top-k, the single best-cosine item, and every item with
+    * cosine > 0.9999; dedup; rank by blended score. One divergence,
+    * documented: the reference's final `sort_unstable` leaves ties
+    * nondeterministic — we pin the usual (score DESC, id ASC).
+    */
+  def searchHybrid(items: Dataset[(Long, Array[Double])], built: Built,
+      q: Array[Double], lambdaQ: Double, k: Int, alpha: Double): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(q)
+    val scored = items.map { case (id, v) => (id, GraphBuilder.cosine(bq.value, v)) }
+      .toDF("id", "cos")
+      .join(built.lambdas, "id")
+      .withColumn("score",
+        lit(alpha) * col("cos") +
+          lit(1.0 - alpha) * (lit(1.0) - least(abs(lit(lambdaQ) - col("lambda")), lit(1.0))))
+      .cache()
+    val lambdaTopK = scored.orderBy(col("score").desc, col("id").asc).limit(k).select("id")
+    val semanticTop1 = scored.orderBy(col("cos").desc, col("id").asc).limit(1).select("id")
+    val highSemantic = scored.filter(col("cos") > 0.9999).select("id")
+    val candidates = lambdaTopK.union(semanticTop1).union(highSemantic).distinct()
+    scored.join(candidates, "id")
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+  }
+
+  /** Row-mutation ops with λ recompute (add_items / mul_items /
+    * scale_item, core.rs:614-705): mutation yields a NEW immutable
+    * Dataset; λ is recomputed for every item against the unchanged graph
+    * (the reference recomputes all λs too).
+    */
+  def mutateItem(items: Dataset[(Long, Array[Double])], built: Built,
+      targetId: Long, op: String, otherId: Option[Long] = None,
+      scalar: Double = 1.0): (Dataset[(Long, Array[Double])], DataFrame) = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val other: Array[Double] = otherId
+      .map(oid => items.filter(_._1 == oid).head()._2)
+      .getOrElse(Array.empty)
+    val bOther = spark.sparkContext.broadcast(other)
+    val mutated = items.map { case (id, v) =>
+      if (id != targetId) (id, v)
+      else op match {
+        case "add" => (id, v.zip(bOther.value).map { case (a, b) => a + b })
+        case "mul" => (id, v.zip(bOther.value).map { case (a, b) => a * b })
+        case "scale" => (id, v.map(_ * scalar))
+        case bad => throw new IllegalArgumentException(s"op $bad")
+      }
+    }
+    val bCsr = spark.sparkContext.broadcast(built.csr)
+    val mode = built.tau
+    val newLambdas = mutated.map { case (id, v) =>
+      (id, TauMode.syntheticLambdaDense(v, bCsr.value, TauMode.selectTau(v, mode)))
+    }.toDF("id", "lambda")
+    (mutated, newLambdas)
+  }
 }

@@ -37,7 +37,7 @@ object LambdaPipeline {
       graph: GraphBuilder.GraphParams =
         GraphBuilder.GraphParams(eps = 1.0, topk = 6, sigma = None)) {
     def fingerprint: String =
-      s"V=$vocabSize;h=$hashDim;X=$maxClusters;s=$sampleSize;seed=$seed;tau=$tau;${graph.fingerprint}"
+      s"v2;V=$vocabSize;h=$hashDim;X=$maxClusters;s=$sampleSize;seed=$seed;tau=$tau;${graph.fingerprint}"
   }
 
   /** Deterministic signed feature hashing of a term node into hashDim. */
@@ -53,7 +53,6 @@ object LambdaPipeline {
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
     val fp = Stage.fingerprintOf(index.dir, cfg.fingerprint, index.meta("fingerprint"))
-    val tokMode = if (index.meta.getOrElse("tokenizer", "code") == "simple") "simple" else "code"
 
     // ---- vocab: prune to broadcastable term-node set -------------------
     Stage.run(s"$dir/vocab", "vocab", fp) {
@@ -71,16 +70,18 @@ object LambdaPipeline {
 
     // ---- doc term vectors over the pruned vocab ------------------------
     Stage.run(s"$dir/docterms", "docterms", fp) {
-      val docs = index.docs.select($"docId", $"content")
-      val fn: String => Array[String] =
-        if (tokMode == "simple") CodeTokenizer.simpleTokens else CodeTokenizer.codeTokens
-      docs.as[(Long, String)]
-        .flatMap { case (id, c) =>
-          val v = bVocab.value
-          fn(c).iterator.flatMap(t => v.get(t)).map(ti => (id, ti))
-        }
-        .toDF("docId", "termIdx")
-        .groupBy($"docId", $"termIdx").agg(count(lit(1)).cast("double").as("weight"))
+      // reuse the index's termfreq artifact — the corpus is tokenized
+      // exactly once across both pipelines.
+      // weight = tf / (doc's total in-vocab mass): the doc vector is a
+      // probability mass over term nodes, so every coordinate ≤ 1 and the
+      // per-doc τ stays in the (0,1] domain where λ ∈ [0,1] holds
+      val vocabDf = spark.read.parquet(s"$dir/vocab")
+      val tf = spark.read.parquet(s"${index.dir}/termfreq")
+        .join(broadcast(vocabDf), "term")
+        .select($"doc_id".as("docId"), $"termIdx", $"tf".cast("double").as("tf"))
+      val vdl = tf.groupBy($"docId").agg(sum($"tf").as("vdl"))
+      tf.join(vdl, "docId")
+        .select($"docId", $"termIdx", ($"tf" / $"vdl").as("weight"))
         .write.mode("overwrite").parquet(s"$dir/docterms")
       spark.read.parquet(s"$dir/docterms").count()
     }
@@ -186,8 +187,9 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
       .flatMap { case (t, c) => vocab.get(t).map(ti => (ti, c.toDouble)) }
       .sortBy(_._1)
     if (pairs.isEmpty) return 0.0
+    val total = pairs.map(_._2).sum
     val support = pairs.map(_._1).toArray
-    val xs = pairs.map(_._2).toArray
+    val xs = pairs.map(_._2 / total).toArray // same tf-mass normalization as docs
     val tau = LambdaAgg.tauOverSparse(xs, graphProps("nNodes").toInt, tauMode)
     TauMode.syntheticLambdaSparse(support, xs, csr, tau)
   }

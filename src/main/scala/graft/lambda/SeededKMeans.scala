@@ -159,6 +159,32 @@ object SeededKMeans {
     bestK
   }
 
+  /** Two-NN intrinsic-dimension estimate (clustering.rs:101-164): for
+    * each sample point, μ = d2/d1 over its two nearest neighbors; MLE
+    * ID = n / Σ ln μ. Sample-sized, driver-local, seeded like the
+    * reference (≤500 samples).
+    */
+  def estimateIntrinsicDimension(points: Array[Array[Double]]): Double = {
+    val n = points.length
+    if (n < 3) return 1.0
+    var sumLog = 0.0
+    var used = 0
+    for (i <- points.indices) {
+      var d1 = Double.MaxValue
+      var d2 = Double.MaxValue
+      for (j <- points.indices if j != i) {
+        val d = sqDist(points(i), points(j))
+        if (d < d1) { d2 = d1; d1 = d } else if (d < d2) d2 = d
+      }
+      if (d1 > 1e-24 && d2.isFinite) {
+        // μ on euclidean distances = sqrt of the squared ratio
+        sumLog += 0.5 * math.log(d2 / d1)
+        used += 1
+      }
+    }
+    if (sumLog <= 0.0 || used == 0) 1.0 else used.toDouble / sumLog
+  }
+
   /** Distributed assignment under a broadcast model. */
   def assignAll(ds: Dataset[(Long, Array[Double])], model: Model): DataFrame = {
     val spark = ds.sparkSession

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * All SQL-replayable variants use only built-in (codegen'd) functions —
+  * md5, higher-order array functions, windowless groupBys — so the
+  * DuckDB oracle can replay them bit-for-bit and Catalyst keeps the
+  * whole plan in WholeStageCodegen.
+  *
+  * Scale notes (100 TB): exact dedup is one hash-shuffle; the shingle
+  * self-join is quadratic in hot shingles and exists as the *verifier*
+  * for MinHash-LSH candidates, which is the scale path (band buckets
+  * shuffle ≈ H×docs rows; candidate verification touches only
+  * bucket-colliding pairs).
+  */
+object Dedup {
+
+  /** SQL-parity tokenization: lower + split [^a-z0-9]+, empties dropped,
+    * as an array column.
+    */
+  def tokenArray(textCol: Column): Column =
+    filter(split(lower(textCol), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Word n-gram shingle array (space-joined), via higher-order
+    * functions only.
+    */
+  def shingleArray(textCol: Column, n: Int): Column = {
+    val toks = tokenArray(textCol)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: canonical survivor (min id) per md5(text). */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dups"))
+
+  /** Distinct (doc, shingle) pairs. */
+  def docShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(shingleArray(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** All-pairs n-gram Jaccard ≥ minJ via shingle equi-join (exact;
+    * verifier-scale). Output (d1, d2, jacc).
+    */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String, n: Int,
+      minJ: Double, roundTo: Int = 6): DataFrame = {
+    val ds = docShingles(docs, textCol, idCol, n)
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = ds.as("a").join(ds.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), "d2")
+      .withColumn("jacc", col("shared") / (col("s1") + col("s2") - col("shared")))
+      .filter(col("jacc") >= minJ)
+      .select(col("d1"), col("d2"), round(col("jacc"), roundTo).as("jacc"))
+  }
+
+
+  /** MinHash signature rows (doc_id, h, minhash): H portable hash
+    * functions h_i(s) = md5(i || ':' || s), minimized as strings —
+    * identical in any engine with md5, no platform hash dependence.
+    */
+  def minhashRows(docs: DataFrame, textCol: String, idCol: String, n: Int,
+      numHashes: Int): DataFrame = {
+    val ds = docShingles(docs, textCol, idCol, n)
+    ds.crossJoin(spark(ds).range(0, numHashes).toDF("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(md5(concat(col("h").cast("string"), lit(":"), col("shingle")))).as("minhash"))
+  }
+
+  /** LSH band buckets: bucket = md5(concatenated minhashes of the band).
+    * Docs sharing (band, bucket) are near-dup candidates.
+    */
+  def lshBuckets(minhash: DataFrame, rowsPerBand: Int): DataFrame =
+    minhash
+      .withColumn("band", floor(col("h") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(array_sort(collect_list(concat(col("h").cast("string"), lit("_"), col("minhash")))), "|")).as("bucket"))
+
+  /** Candidate pairs from band-bucket collisions (d1 < d2, distinct). */
+  def lshCandidates(buckets: DataFrame): DataFrame =
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+  /** 64-bit SimHash as a '0'/'1' bit-string (portable: bits come from
+    * md5(term) hex, weights are integer tf — exact in any engine).
+    */
+  def simhash64(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokenArray(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val hexmap = "0123456789abcdef"
+    val bits = tf
+      .crossJoin(spark(tf).range(0, 64).toDF("bp"))
+      // floor() everywhere: DuckDB CAST(double AS INT) rounds while Spark
+      // truncates — explicit floor keeps the oracle bit-identical
+      .withColumn("hexch", substring(md5(col("term")), floor(col("bp") / 4).cast("int") + 1, lit(1)))
+      .withColumn("hexval", instr(lit(hexmap), col("hexch")) - 1)
+      .withColumn("bit",
+        pmod(floor(col("hexval") / pow(lit(2.0), lit(3) - pmod(col("bp"), lit(4)))).cast("int"), lit(2)))
+      .withColumn("v", when(col("bit") === 1, col("tf")).otherwise(-col("tf")))
+    bits.groupBy(col("doc_id"), col("bp")).agg(sum(col("v")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("bp"), col("s")))),
+        x => when(x.getField("s") > 0, "1").otherwise("0")), "").as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length bit-strings (candidate
+    * verification for SimHash buckets).
+    */
+  def hammingBits(a: Column, b: Column): Column =
+    size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), x => x))
+
+  /** Embedding near-duplicate pairs: all-pairs cosine ≥ minCos with the
+    * dot product as a higher-order `aggregate(zip_with(...))` — no UDF,
+    * fully codegen'd. Exact verifier; the scale path buckets by
+    * random-hyperplane LSH first (see Similarity.cosineLsh*).
+    */
+  def embeddingNearDups(items: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, roundTo: Int = 6): DataFrame = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val a = items.select(col(idCol).as("v1"), col(vecCol).as("e1"))
+    val b = items.select(col(idCol).as("v2"), col(vecCol).as("e2"))
+    a.join(b, col("v1") < col("v2"))
+      .withColumn("cos", dot(col("e1"), col("e2")) / (sqrt(dot(col("e1"), col("e1"))) * sqrt(dot(col("e2"), col("e2")))))
+      .filter(col("cos") >= minCos)
+      .select(col("v1"), col("v2"), round(col("cos"), roundTo).as("cos"))
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. The
+  * SQL-replayable ones use only built-in functions with pinned,
+  * engine-portable semantics.
+  */
+object TextStats {
+
+  /** Marker stopwords per language (tiny n-gram-free heuristic — the
+    * deterministic scorer itself is the operator under test; wider lists
+    * slot in without structural change).
+    */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una"))
+
+  /** Language ID: argmax over marker-token counts, ties broken by
+    * language code ascending; 'und' when no marker hits.
+    */
+  def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.tokenArray(col(textCol))).as("term"))
+    val marker = Markers.toSeq
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("lang", "term")
+    val counts = tok.join(broadcast(marker), "term")
+      .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("hits"))
+    // argmax hits, ties → lexicographically smallest lang (portable SQL shape)
+    val best = counts.groupBy(col("doc_id")).agg(max(col("hits")).as("mh"))
+    val pick = counts.join(best, "doc_id")
+      .filter(col("hits") === col("mh"))
+      .groupBy(col("doc_id")).agg(min(col("lang")).as("pred0"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(pick, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("pred0"), lit("und")).as("pred_lang"))
+  }
+
+  /** Quality score components + a pinned blend, all integer/char-count
+    * based for engine portability:
+    *   alpha_ratio   = alnum chars / chars
+    *   stop_ratio    = english-marker tokens / tokens
+    *   mean_tok_len  = alnum chars in tokens / tokens
+    *   score = round(0.4·alpha_ratio + 0.3·stop_ratio
+    *                 + 0.3·min(mean_tok_len/8, 1), 6)
+    */
+  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = Dedup.tokenArray(col(textCol))
+    val nToks = size(toks).cast("double")
+    val alnum = length(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")).cast("double")
+    val chars = length(col(textCol)).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(Markers("en"): _*))).cast("double")
+    val meanTokLen = alnum / nToks
+    // floor-truncate to 6 decimals instead of rounding: the raw value is
+    // a deterministic scalar expression (bit-identical in any IEEE
+    // engine), and truncation has no round-half tie cases
+    docs.select(
+      col(idCol).as("doc_id"),
+      (floor(
+        when(nToks === 0 || chars === 0, 0.0).otherwise(
+          lit(0.4) * (alnum / chars) +
+            lit(0.3) * (stopHits / nToks) +
+            lit(0.3) * least(meanTokLen / lit(8.0), lit(1.0))) * 1e6) / 1e6).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenization
+    * (letter runs, digit runs, single non-space symbols).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), "\\s+"), t => length(t) > 0)).as("ws_tokens"),
+      size(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)).as("word_tokens"),
+      length(regexp_replace(col(textCol), "\\s", "")).as("non_space_chars"))
+
+  /** Rolling polynomial fingerprint over tokens (Rabin-Karp, base 257
+    * mod 2^61−1) + winnowed k-gram minima — the doc-fingerprint operator
+    * (not SQL-expressible; rows-only oracle).
+    */
+  def fingerprint(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val MOD = (1L << 61) - 1
+    val B = 257L
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)].map { case (id, text) =>
+      val toks = graft.tokenize.CodeTokenizer.simpleTokens(text)
+      def hashTok(s: String): Long = {
+        var h = 0L
+        s.foreach { c => h = (h * B + c.toLong) % MOD }
+        h
+      }
+      val hs = toks.map(hashTok)
+      // rolling window hashes
+      val grams =
+        if (hs.length < window) Array(hs.foldLeft(0L)((a, x) => (a * B + x) % MOD))
+        else hs.sliding(window).map(_.foldLeft(0L)((a, x) => (a * B + x) % MOD)).toArray
+      val fp = if (grams.isEmpty) 0L else grams.min // winnowing: global min-gram
+      (id, fp, grams.length)
+    }.toDF("doc_id", "fingerprint", "n_grams")
+  }
+}

@@ -1,0 +1,189 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Training-data pipeline operators: dedup family, text analysis, ANN,
+  * multimodal plumbing.
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over a lazy dog"), // near dup
+    (4L, "der hund ist nicht ein fuchs und das ist gut"), // german-ish
+    (5L, "completely different content about spark engines"),
+    (6L, "short text")).toDF("doc_id", "text")
+
+  test("exactDedup keeps min id per hash with dup count") {
+    val r = Dedup.exactDedup(docs, "text", "doc_id")
+      .collect().map(x => (x.getLong(1), x.getLong(2))).sortBy(_._1)
+    assert(r.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L)))
+  }
+
+  test("shingleArray produces word n-grams; short docs yield none") {
+    val r = docs.filter($"doc_id" === 6L)
+      .select(Dedup.shingleArray($"text", 3).as("sh")).collect()(0).getSeq[String](0)
+    assert(r.isEmpty) // 2 tokens < 3
+    val r2 = docs.filter($"doc_id" === 1L)
+      .select(Dedup.shingleArray($"text", 3).as("sh")).collect()(0).getSeq[String](0)
+    assert(r2.head == "the quick brown" && r2.last == "the lazy dog" && r2.length == 7)
+  }
+
+  test("jaccardPairs finds the exact dup at 1.0 and the near dup in between") {
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("minhash LSH: exact dups collide in every band; unrelated docs do not") {
+    val cand = Dedup.lshCandidates(Dedup.lshBuckets(
+      Dedup.minhashRows(docs, "text", "doc_id", 3, 16), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("simhash64: 64-bit strings, identical docs identical, near dups close") {
+    val sh = Dedup.simhash64(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(sh.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(sh(1L) == sh(2L))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(5L)),
+      s"near-dup hamming ${ham(sh(1L), sh(3L))} !< unrelated ${ham(sh(1L), sh(5L))}")
+  }
+
+  test("hammingBits column matches scala hamming") {
+    val df = Seq(("10101", "10011")).toDF("a", "b")
+    assert(df.select(Dedup.hammingBits($"a", $"b")).collect()(0).getInt(0) == 2)
+  }
+
+  test("embeddingNearDups on hand-built vectors") {
+    val items = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.01, 0.0)), // cos ~ 0.99995
+      (3L, Array(0.0, 1.0, 0.0)), // orthogonal to 1
+      (4L, Array(-1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val r = Dedup.embeddingNearDups(items, "vec_id", "embedding", 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 2L)))
+  }
+
+  test("langId: marker argmax with und fallback and tie determinism") {
+    val r = TextStats.langId(docs, "text", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r(1L) == "en")
+    assert(r(4L) == "de")
+    assert(r(6L) == "und")
+  }
+
+  test("tokenCounts hand-checked") {
+    val r = TextStats.tokenCounts(docs, "text", "doc_id")
+      .collect().map(x => (x.getLong(0), (x.getInt(1), x.getInt(2), x.getInt(3)))).toMap
+    assert(r(6L) == ((2, 2, 9))) // "short text": 2 ws, 2 word, 9 non-space chars
+    assert(r(1L)._1 == 9)
+  }
+
+  test("quality: bounded, zero for empty, higher for stopword-rich English") {
+    val extra = docs.union(Seq((7L, ""), (8L, "..."), (9L, "x @@ ## !! y %%")).toDF("doc_id", "text"))
+    val r = TextStats.qualityScore(extra, "text", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(r(7L) == 0.0 && r(8L) == 0.0)
+    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(r(1L) > r(9L), "clean English text scores above punctuation soup")
+  }
+
+  test("fingerprint: dup docs share fingerprints, deterministic") {
+    val r = TextStats.fingerprint(docs, "text", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r(1L) == r(2L))
+    assert(r(1L) != r(5L))
+    val r2 = TextStats.fingerprint(docs, "text", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == r2)
+  }
+
+  // ---- ANN over the real embeddings table ------------------------------
+
+  lazy val items = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>"))
+    .as[(Long, Array[Double])].cache()
+  lazy val q0 = items.filter(_._1 == 0L).head()._2
+  lazy val exact = graft.lambda.DenseLambda.cosineTopK(items, q0, 10)
+    .collect().map(_.getLong(0)).toSeq
+
+  test("IVF with nprobe == nlist degenerates to exact brute force") {
+    val ivf = Similarity.buildIvf(items, nlist = 8)
+    val r = Similarity.ivfTopK(items, ivf, q0, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == exact)
+  }
+
+  test("IVF with partial probes keeps useful recall and prunes the scan") {
+    val ivf = Similarity.buildIvf(items, nlist = 16)
+    val r = Similarity.ivfTopK(items, ivf, q0, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(Similarity.recallAtK(r, exact) >= 0.5, s"recall too low: $r vs $exact")
+  }
+
+  test("LSH buckets: query's own bucket contains it; recall reasonable") {
+    // top-10 neighbors here have cosine ≈ 0.3 (weak similarity), so sign
+    // agreement per plane is only ~0.6 — a Hamming-5 ball on 12 planes is
+    // the right probe radius for recall without a full scan
+    val buckets = Similarity.lshBuckets(items, nPlanes = 12)
+    val r = Similarity.lshTopK(items, buckets, q0, 10, nPlanes = 12, maxHamming = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r.head == 0L, "item 0 is the query itself, cosine 1")
+    assert(Similarity.recallAtK(r, exact) >= 0.2)
+  }
+
+  // ---- multimodal plumbing --------------------------------------------
+
+  test("multimodal: synthesize -> decode -> resize/frames, schema and determinism") {
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    assert(media.columns.toSeq == Seq("media_id", "modality", "payload", "meta"))
+    val decoded = Multimodal.decode(media)
+    val rows = decoded.collect()
+    assert(rows.length == 6)
+    assert(decoded.columns.toSeq ==
+      Seq("media_id", "modality", "n_bytes", "width", "height", "channels", "n_frames"))
+    // payload bytes == text bytes
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(6L) == "short text".getBytes("UTF-8").length)
+    // deterministic stub
+    val again = Multimodal.decode(media).collect().map(_.toSeq).sortBy(_.toString)
+    assert(again.toSeq == rows.map(_.toSeq).sortBy(_.toString).toSeq)
+    // audio rows are single-channel; video rows have frames
+    rows.foreach { r =>
+      if (r.getString(1) == "audio") assert(r.getInt(5) == 1)
+      if (r.getString(1) == "video") assert(r.getInt(6) >= 1)
+    }
+    val resized = Multimodal.resizePlan(decoded, 64).collect()
+    resized.foreach { r =>
+      assert(r.getAs[Int]("out_width") <= 65 && r.getAs[Int]("out_height") <= 65)
+    }
+    val frames = Multimodal.sampleFrames(decoded, 10).collect()
+    frames.foreach { r =>
+      val idx = r.getSeq[Int](3) // sequence() over int frames yields array<int>
+      assert(idx.nonEmpty && idx.head == 0)
+    }
+  }
+
+  test("multimodal features: histogram normalized, batch shape per partition") {
+    val media = Multimodal.synthesize(docs, "doc_id", "text").repartition(3)
+    val f = Multimodal.features(media).collect()
+    assert(f.length == 6)
+    f.foreach { r =>
+      val h = r.getSeq[Double](1)
+      assert(h.length == 16)
+      assert(math.abs(h.sum - 1.0) < 1e-9)
+    }
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Storage
+import graft.lambda.{Csr, DenseLambda, ImplicitProjection, Projection, SeededKMeans}
+import java.nio.file.Files
+import scala.util.Random
+
+/** Storage round-trips (reference schemas), JL projection semantics,
+  * hybrid search, item mutation with λ recompute, intrinsic dimension.
+  */
+class StorageProjSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+  val rnd = new Random(5)
+
+  test("dense matrix save/load round-trip with reference schema") {
+    val tmp = Files.createTempDirectory("graft-st").toString
+    val rows = Seq((0L, Array(1.0, 2.5, -3.0)), (1L, Array(1e-5, 0.0, 7.0)))
+      .toDF("id", "vec")
+    Storage.saveDenseMatrix(spark, rows, "id", "vec", s"$tmp/dense", "m")
+    val loaded = spark.read.parquet(s"$tmp/dense")
+    assert(loaded.columns.toSet == Set("name_id", "n_rows", "n_cols", "col_0", "col_1", "col_2"))
+    assert(loaded.select("n_rows").first().getLong(0) == 2L)
+    val back = Storage.loadDenseMatrix(spark, s"$tmp/dense")
+    assert(Storage.denseMatricesEqual(
+      rows.withColumnRenamed("id", "name_id").withColumnRenamed("vec", "vector"), back))
+  }
+
+  test("sparse matrix save/load round-trip (COO row/col/value)") {
+    val tmp = Files.createTempDirectory("graft-st2").toString
+    val m = Csr.fromCoo(4, Seq((0, 1, -0.5), (1, 0, -0.5), (0, 0, 0.5), (1, 1, 0.5), (3, 3, 2.0)))
+    Storage.saveSparseMatrix(spark, m, s"$tmp/sparse")
+    val cols = spark.read.parquet(s"$tmp/sparse").columns.toSet
+    assert(cols == Set("row", "col", "value"))
+    val back = Storage.loadSparseMatrix(spark, s"$tmp/sparse", 4)
+    assert(back.n == m.n && back.nnz == m.nnz)
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(math.abs(back.get(i, j) - m.get(i, j)) < 1e-10)
+  }
+
+  test("lambda save/load round-trip (row_index/lambda)") {
+    val tmp = Files.createTempDirectory("graft-st3").toString
+    val l = Seq((0L, 0.25), (1L, 0.75)).toDF("id", "lambda")
+    Storage.saveLambda(l, "id", "lambda", s"$tmp/lam")
+    val back = Storage.loadLambda(spark, s"$tmp/lam")
+    assert(back.columns.toSeq == Seq("row_index", "lambda"))
+    assert(back.count() == 2)
+  }
+
+  test("metadata sidecar writes valid JSON") {
+    val tmp = Files.createTempDirectory("graft-st4").toString
+    Storage.saveMetadata(tmp, "idx", Map("k1" -> "1.2", "note" -> "line\nbreak\"q\""))
+    val s = Storage.loadMetadata(tmp, "idx")
+    assert(s.contains("\"name\": \"idx\"") && s.contains("\\n"))
+  }
+
+  test("JL projection: deterministic, linear, dimension formula") {
+    val proj = ImplicitProjection(50, 8, seed = 99L)
+    val x = Array.fill(50)(rnd.nextDouble() * 2 - 1)
+    val y = Array.fill(50)(rnd.nextDouble() * 2 - 1)
+    // determinism: same spec => same result (tests/test_reduction.rs:31-43)
+    assert(proj.project(x).toSeq == ImplicitProjection(50, 8, 99L).project(x).toSeq)
+    // different seed => different projection
+    assert(proj.project(x).toSeq != ImplicitProjection(50, 8, 100L).project(x).toSeq)
+    // linearity: P(ax + by) == a P(x) + b P(y) (tests/test_reduction.rs:44-96)
+    val ax_by = x.zip(y).map { case (a, b) => 2.0 * a + 3.0 * b }
+    val lhs = proj.project(ax_by)
+    val rhs = proj.project(x).zip(proj.project(y)).map { case (a, b) => 2.0 * a + 3.0 * b }
+    lhs.zip(rhs).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // r = max(32, ceil(8 ln n / eps^2)) (reduction.rs:126-139)
+    assert(Projection.jlDimension(10, 1.0) == 32)
+    assert(Projection.jlDimension(100000, 0.25) ==
+      math.ceil(8 * math.log(100000.0) / 0.0625).toInt)
+  }
+
+  test("distributed projectAll equals local project") {
+    val proj = ImplicitProjection(16, 4, seed = 7L)
+    val data = (0L until 20L).map(i => (i, Array.fill(16)(rnd.nextDouble()))).toSeq
+    val ds = data.toDS()
+    val got = Projection.projectAll(ds, proj).collect().toMap
+    data.foreach { case (id, v) =>
+      assert(got(id).toSeq == proj.project(v).toSeq)
+    }
+  }
+
+  test("hybrid search: superset guarantees and k results") {
+    val items = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].cache()
+    val built = DenseLambda.build(spark, items, DenseLambda.Config(maxClusters = 8))
+    val q = items.filter(_._1 == 3L).head()._2
+    val lq = DenseLambda.queryLambda(q, built)
+    val res = DenseLambda.searchHybrid(items, built, q, lq, 5, alpha = 0.7).collect()
+    assert(res.length == 5)
+    val scores = res.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sortBy(-(_: Double)))
+    // the semantic top-1 (item 3 itself, cosine 1) must be present
+    assert(res.map(_.getLong(0)).contains(3L))
+  }
+
+  test("mutateItem: only target changes; lambda recomputed and valid") {
+    val items = Seq(
+      (0L, Array(1.0, 0.0, 0.5, 0.2)),
+      (1L, Array(0.0, 1.0, 0.5, 0.1)),
+      (2L, Array(0.3, 0.3, 0.3, 0.3))).toDS()
+    val built = DenseLambda.build(spark, items, DenseLambda.Config(maxClusters = 2))
+    val (mutated, newL) = DenseLambda.mutateItem(items, built, 0L, "add", Some(1L))
+    val m = mutated.collect().toMap
+    m(0L).zip(Seq(1.0, 1.0, 1.0, 0.3)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    assert(m(1L).toSeq == Seq(0.0, 1.0, 0.5, 0.1))
+    val l = newL.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(l.size == 3 && l.values.forall(v => v >= 0.0 && v <= 1.0))
+    val (scaled, _) = DenseLambda.mutateItem(items, built, 2L, "scale", None, 2.0)
+    assert(scaled.collect().toMap.apply(2L).toSeq == Seq(0.6, 0.6, 0.6, 0.6))
+  }
+
+  test("intrinsic dimension: line ~1, plane ~2, full space higher") {
+    def cloud(dim: Int, n: Int): Array[Array[Double]] =
+      Array.fill(n)(Array.fill(dim)(rnd.nextDouble()))
+    // random positions (a regular grid degenerates Two-NN: d1 == d2)
+    val line = Array.fill(200)(Array(rnd.nextDouble() * 2, 0.0, 0.0, 0.0, 0.0))
+    val idLine = SeededKMeans.estimateIntrinsicDimension(line)
+    assert(idLine < 1.6, s"line ID $idLine")
+    val plane = Array.fill(200)(Array(rnd.nextDouble(), rnd.nextDouble(), 0.0, 0.0, 0.0))
+    val idPlane = SeededKMeans.estimateIntrinsicDimension(plane)
+    assert(idPlane > 1.3 && idPlane < 3.0, s"plane ID $idPlane")
+    val full = cloud(5, 300)
+    val idFull = SeededKMeans.estimateIntrinsicDimension(full)
+    assert(idFull > idPlane, s"full ID $idFull vs plane $idPlane")
+  }
+}

@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput GC: ~10-20% faster than G1 on the allocation-heavy
+  // tokenize/hash-aggregate stages (measured on the termfreq stage)
+  "-XX:+UseParallelGC",
 )
+
+// ad-hoc JVM flag experiments (e.g. GC choice) without editing this file
+javaOptions ++= sys.env.get("EXTRA_JVM_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)

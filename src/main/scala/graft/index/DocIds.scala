@@ -27,35 +27,34 @@ object DocIds {
   def assign(files: Dataset[SourceFile], numParts: Int): Dataset[Doc] = {
     val spark = files.sparkSession
     import spark.implicits._
-    val parted = files
-      .repartition(numParts, $"repo", $"path", $"commit")
-      .sortWithinPartitions($"repo", $"path", $"commit")
-      // persist across the two passes — separate actions do NOT share
-      // shuffle output, so without this the source would be read and
-      // shuffled twice (at petabyte scale this stage instead writes the
-      // sorted run to storage once and counts per file from footers)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition counts
-    val counts: Array[(Int, Long)] = parted
-      .mapPartitions { it =>
-        var n = 0L; while (it.hasNext) { it.next(); n += 1 }
-        Iterator.single((TaskContext.getPartitionId(), n))
-      }(Encoders.product[(Int, Long)])
+    import org.apache.spark.sql.functions.{count => cnt, _}
+    // Pass 1 — per-partition counts WITHOUT materializing the shuffle:
+    // `pmod(hash(keys), P)` is exactly HashPartitioning's partition-id
+    // expression (Murmur3 seed 42), so the counts of the future shuffle
+    // partitions come from a narrow, column-pruned aggregation (only the
+    // key columns are read; map-side partial combine; the tiny (P rows)
+    // result is collected). No cache, no double shuffle.
+    val counts: Array[(Int, Long)] = files
+      .groupBy(pmod(hash($"repo", $"path", $"commit"), lit(numParts)).as("part"))
+      .agg(cnt(lit(1)).as("n"))
       .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
     val offsets = new Array[Long](numParts)
     var acc = 0L
     counts.sortBy(_._1).foreach { case (pid, n) => offsets(pid) = acc; acc += n }
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    // pass 2: attach ids (consumer materializes; unpersist is left to GC /
-    // session end since the downstream write runs lazily)
-    parted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var next = bOffsets.value(pid)
-      it.map { f =>
-        val d = Doc(next, f.repo, f.path, f.commit, f.lang, f.content)
-        next += 1
-        d
+    // Pass 2 — the actual shuffle + in-partition sort + id attach.
+    files
+      .repartition(numParts, $"repo", $"path", $"commit")
+      .sortWithinPartitions($"repo", $"path", $"commit")
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var next = bOffsets.value(pid)
+        it.map { f =>
+          val d = Doc(next, f.repo, f.path, f.commit, f.lang, f.content)
+          next += 1
+          d
+        }
       }
-    }
   }
 }

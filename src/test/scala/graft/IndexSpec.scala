@@ -46,6 +46,13 @@ class IndexSpec extends AnyFunSuite {
     assert(index.avgdl > 10)
   }
 
+  test("docIds are dense and unique 0..N-1") {
+    // validates the pmod(hash(keys), P) == HashPartitioning partition-id
+    // identity that the no-shuffle counting pass relies on
+    val ids = index.docs.select("docId").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until nFiles).toSeq)
+  }
+
   test("sha256 invariant holds on the docs stage") {
     val bad = index.docs
       .filter(sha2(col("content"), 256) =!= col("sha256")).count()

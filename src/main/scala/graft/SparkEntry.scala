@@ -44,6 +44,43 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // multi-table join: broadcast dims (nation/region/customer) against
+    // the fact tables, grouped revenue per nation+segment
+    "q_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+    // window top-k: per-supplier top-3 lineitems by revenue (the same
+    // Window+row_number pattern the graph sparsifier uses)
+    "q_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("rev").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      table(s, dir, "lineitem")
+        .withColumn("rev", round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("l_suppkey"), col("rk"), col("l_orderkey"), col("l_linenumber"), col("rev"))
+    }),
+    // semi/anti joins: customers with vs without any order
+    "q_semi_anti" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey")).withColumn("has_orders", lit(1))
+      val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).withColumn("has_orders", lit(0))
+      withO.union(withoutO)
+    }),
+
     // -- tokenizer / doc-stats / vocabulary ------------------------------
     "doc_tokens_tf" -> ((s, dir) => BM25.termFreq(docTokens(s, dir))),
     "doc_stats" -> ((s, dir) => BM25.docLengths(docTokens(s, dir))),
@@ -150,7 +187,7 @@ object SparkEntry {
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
@@ -219,6 +256,30 @@ object SparkEntry {
         |SELECT term, count(*) AS df FROM tf GROUP BY term""".stripMargin,
     "bm25_topk" -> bm25OracleSql(Seq("spark", "query", "vector"), 10),
     "wand_topk" -> bm25OracleSql(Seq("stream", "merge", "window"), 10),
+    "q_join" ->
+      """SELECT n_name, c_mktsegment,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, c_mktsegment""".stripMargin,
+    "q_window" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    round(l_extendedprice * (1.0 - l_discount), 4) AS rev,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY round(l_extendedprice * (1.0 - l_discount), 4) DESC,
+        |               l_orderkey ASC, l_linenumber ASC) AS rk
+        |  FROM lineitem)
+        |SELECT l_suppkey, rk, l_orderkey, l_linenumber, rev FROM r WHERE rk <= 3""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey, 1 AS has_orders FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 0 AS has_orders FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
@@ -329,7 +390,7 @@ object SparkEntry {
         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events)
-        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM flagged GROUP BY user_id""".stripMargin,
     // embeddings are fixed 64-dim across all sf dirs
     "cosine_topk" ->

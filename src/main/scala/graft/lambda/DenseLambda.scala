@@ -23,11 +23,18 @@ object DenseLambda {
       sampleSize: Int = 1000,
       seed: Long = 42L,
       tau: TauMode = TauMode.Median,
+      spectral: Boolean = false, // G6: λ over the Laplacian-of-Laplacian
       graph: GraphBuilder.GraphParams =
         GraphBuilder.GraphParams(eps = 1.0, topk = 6, sigma = None))
 
-  /** Built artifact: the broadcastable feature-graph CSR + per-item λ. */
-  case class Built(csr: Csr, tau: TauMode, nFeatures: Int, lambdas: DataFrame)
+  /** Built artifact: the broadcastable feature-graph CSR + per-item λ.
+    * `signals` is the optional spectral matrix; when present it is the
+    * graph λ is computed against (reference taumode.rs:195-200).
+    */
+  case class Built(csr: Csr, tau: TauMode, nFeatures: Int, lambdas: DataFrame,
+      signals: Option[Csr] = None) {
+    def lambdaGraph: Csr = signals.getOrElse(csr)
+  }
 
   def build(spark: SparkSession, items: Dataset[(Long, Array[Double])],
       cfg: Config = Config()): Built = {
@@ -41,21 +48,24 @@ object DenseLambda {
     val f = sample(0).length
     val transposed = Array.tabulate(f)(j => Array.tabulate(model.k)(c => model.centroids(c)(j)))
     val csr = GraphBuilder.buildLaplacian(spark, transposed, cfg.graph)
-    // stage 3: per-item λτ (dense formula; τ from the item's own values)
-    val bCsr = spark.sparkContext.broadcast(csr)
+    val signals =
+      if (cfg.spectral) Some(GraphBuilder.buildSpectral(spark, csr, cfg.graph)) else None
+    // stage 3: per-item λτ (dense formula; τ from the item's own values;
+    // graph = signals when spectral is on)
+    val bCsr = spark.sparkContext.broadcast(signals.getOrElse(csr))
     val mode = cfg.tau
     val lambdas = items.map { case (id, v) =>
       val tau = TauMode.selectTau(v, mode)
       (id, TauMode.syntheticLambdaDense(v, bCsr.value, tau))
     }.toDF("id", "lambda")
-    Built(csr, mode, f, lambdas)
+    Built(csr, mode, f, lambdas, signals)
   }
 
   /** prepare_query_item analog: λ of a query vector. */
   def queryLambda(q: Array[Double], built: Built): Double = {
     require(q.forall(x => java.lang.Double.isFinite(x)), "query must be finite")
     val tau = TauMode.selectTau(q, built.tau)
-    TauMode.syntheticLambdaDense(q, built.csr, tau)
+    TauMode.syntheticLambdaDense(q, built.lambdaGraph, tau)
   }
 
   /** Lambda-aware top-k (search_lambda_aware, core.rs:760-798): full scan
@@ -143,7 +153,7 @@ object DenseLambda {
         case bad => throw new IllegalArgumentException(s"op $bad")
       }
     }
-    val bCsr = spark.sparkContext.broadcast(built.csr)
+    val bCsr = spark.sparkContext.broadcast(built.lambdaGraph)
     val mode = built.tau
     val newLambdas = mutated.map { case (id, v) =>
       (id, TauMode.syntheticLambdaDense(v, bCsr.value, TauMode.selectTau(v, mode)))

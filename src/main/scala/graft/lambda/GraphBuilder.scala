@@ -124,6 +124,23 @@ object GraphBuilder {
     toLaplacian(n, afterSparsify)
   }
 
+  /** G6: the optional "spectral" Laplacian-of-Laplacian
+    * (/root/reference/src/graph.rs:212-270): densify L, transpose (L is
+    * symmetric; the explicit transpose mirrors the reference), and run
+    * the SAME kNN-Laplacian recipe over the rows. When present, λ is
+    * computed against this `signals` matrix (taumode.rs:195-200) and can
+    * go negative (eigenmaps.rs:330-338) — callers must not assume [0,1].
+    */
+  def buildSpectral(spark: SparkSession, l: Csr, params: GraphParams): Csr = {
+    val dense = Array.tabulate(l.n) { i =>
+      val row = new Array[Double](l.n)
+      l.rowIter(i).foreach { case (j, v) => row(j) = v }
+      row
+    }
+    val transposed = Array.tabulate(l.n)(j => Array.tabulate(l.n)(i => dense(i)(j)))
+    buildLaplacian(spark, transposed, params)
+  }
+
   /** Degree-score sparsification (driver-local over O(F·k) edges). Skips
     * when avg degree < 10 (sparsification.rs:46-52). Keeps symmetry by
     * retaining an edge if EITHER endpoint keeps it.

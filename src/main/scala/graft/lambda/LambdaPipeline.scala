@@ -37,7 +37,7 @@ object LambdaPipeline {
       graph: GraphBuilder.GraphParams =
         GraphBuilder.GraphParams(eps = 1.0, topk = 6, sigma = None)) {
     def fingerprint: String =
-      s"v2;V=$vocabSize;h=$hashDim;X=$maxClusters;s=$sampleSize;seed=$seed;tau=$tau;${graph.fingerprint}"
+      s"v3;V=$vocabSize;h=$hashDim;X=$maxClusters;s=$sampleSize;seed=$seed;tau=$tau;${graph.fingerprint}"
   }
 
   /** Deterministic signed feature hashing of a term node into hashDim. */
@@ -75,13 +75,17 @@ object LambdaPipeline {
       // weight = tf / (doc's total in-vocab mass): the doc vector is a
       // probability mass over term nodes, so every coordinate ≤ 1 and the
       // per-doc τ stays in the (0,1] domain where λ ∈ [0,1] holds
+      // tf and vdl stay integral until the final division: a long sum is
+      // exact regardless of shuffle order, so weights (and hence λ) are
+      // bit-identical across rebuilds
       val vocabDf = spark.read.parquet(s"$dir/vocab")
       val tf = spark.read.parquet(s"${index.dir}/termfreq")
         .join(broadcast(vocabDf), "term")
-        .select($"doc_id".as("docId"), $"termIdx", $"tf".cast("double").as("tf"))
+        .select($"doc_id".as("docId"), $"termIdx", $"tf")
       val vdl = tf.groupBy($"docId").agg(sum($"tf").as("vdl"))
       tf.join(vdl, "docId")
-        .select($"docId", $"termIdx", ($"tf" / $"vdl").as("weight"))
+        .select($"docId", $"termIdx", $"tf",
+          ($"tf".cast("double") / $"vdl".cast("double")).as("weight"))
         .write.mode("overwrite").parquet(s"$dir/docterms")
       spark.read.parquet(s"$dir/docterms").count()
     }
@@ -90,15 +94,21 @@ object LambdaPipeline {
     // ---- doc clustering (items → X centroids) --------------------------
     Stage.run(s"$dir/clusters", "clusters", fp) {
       val hd = cfg.hashDim
-      val docVecs = docterms.as[(Long, Int, Double)]
+      // accumulate hashed features as LONG tf counts (exact in any
+      // iteration order), then scale by the doc's in-vocab mass — keeps
+      // the whole pipeline bit-deterministic across rebuilds
+      val docVecs = docterms.select($"docId", $"termIdx", $"tf").as[(Long, Int, Long)]
         .groupByKey(_._1)
         .mapGroups { (id, it) =>
-          val v = new Array[Double](hd)
-          it.foreach { case (_, ti, w) =>
+          val acc = new Array[Long](hd)
+          var total = 0L
+          it.foreach { case (_, ti, tfv) =>
             val (slot, sign) = hashFeature(ti, hd)
-            v(slot) += sign * w
+            acc(slot) += (if (sign > 0) tfv else -tfv)
+            total += tfv
           }
-          (id, v)
+          val denom = math.max(total, 1L).toDouble
+          (id, acc.map(_.toDouble / denom))
         }
       val sample = SeededKMeans.sampleRows(docVecs, cfg.sampleSize, cfg.seed)
       val x = SeededKMeans.optimalK(sample, cfg.seed, cfg.maxClusters)
@@ -113,13 +123,14 @@ object LambdaPipeline {
 
     // ---- term signatures + graph Laplacian -----------------------------
     Stage.run(s"$dir/graph", "graph", fp) {
+      // signature mass from raw tf (exact long sum — order-independent)
       val sig = docterms
         .join(spark.read.parquet(s"$dir/clusters"), "docId")
-        .groupBy($"termIdx", $"cluster").agg(sum($"weight").as("mass"))
+        .groupBy($"termIdx", $"cluster").agg(sum($"tf").as("mass"))
         .collect()
       val mat = Array.fill(nNodes)(new Array[Double](nClusters))
       sig.foreach { r =>
-        mat(r.getAs[Int]("termIdx"))(r.getAs[Int]("cluster")) = r.getAs[Double]("mass")
+        mat(r.getAs[Int]("termIdx"))(r.getAs[Int]("cluster")) = r.getAs[Long]("mass").toDouble
       }
       val csr = GraphBuilder.buildLaplacian(spark, mat, cfg.graph)
       // persist COO
@@ -139,7 +150,7 @@ object LambdaPipeline {
       val li = new LambdaIndex(spark, dir)
       val bCsr = spark.sparkContext.broadcast(li.csr)
       val agg = new LambdaAgg(bCsr, nNodes, cfg.tau)
-      docterms.as[(Long, Int, Double)]
+      docterms.select($"docId", $"termIdx", $"weight").as[(Long, Int, Double)]
         .map { case (id, ti, w) => DocTermEntry(id, ti, w) }
         .groupByKey(_.docId)
         .agg(agg.toColumn)

@@ -159,6 +159,35 @@ object SeededKMeans {
     bestK
   }
 
+  /** Pilot-based clustering radius (compute_threshold_from_pilot,
+    * clustering.rs:384-492): fit k-means on the pilot, take the 90th
+    * percentile (ceil-rank) of within-cluster squared distances; when
+    * within-cluster variance is degenerate (p90 < 1e-8 or p90 / min
+    * inter-centroid d² < 0.01), fall back to 0.15 × the minimum
+    * inter-centroid squared distance; floor 1e-6; standard radius =
+    * 1.5 × p90.
+    */
+  def thresholdFromPilot(rows: Array[Array[Double]], k: Int, seed: Long): Double = {
+    val model = fitLocal(rows, k, seed + 100000L)
+    val assign = rows.map(model.assign)
+    val dists = rows.indices.map(i => sqDist(rows(i), model.centroids(assign(i)))).sorted
+    if (dists.isEmpty) return 1.0
+    val p90Idx = math.min(math.ceil(dists.length * 0.9).toInt, dists.length - 1)
+    val p90 = dists(p90Idx)
+    val counts = new Array[Int](model.k)
+    assign.foreach(c => counts(c) += 1)
+    val inter = for {
+      i <- 0 until model.k
+      j <- (i + 1) until model.k
+      if counts(i) > 0 && counts(j) > 0
+    } yield sqDist(model.centroids(i), model.centroids(j))
+    val minInter = if (inter.nonEmpty) inter.min else Double.PositiveInfinity
+    val ratio = if (minInter.isFinite && minInter > 0.0) p90 / minInter else 1.0
+    if (p90 < 1e-8 || ratio < 0.01) {
+      if (inter.nonEmpty) math.max(minInter * 0.15, 1e-6) else 1e-6
+    } else math.max(p90 * 1.5, 1e-6)
+  }
+
   /** Two-NN intrinsic-dimension estimate (clustering.rs:101-164): for
     * each sample point, μ = d2/d1 over its two nearest neighbors; MLE
     * ID = n / Σ ln μ. Sample-sized, driver-local, seeded like the

@@ -116,6 +116,60 @@ class StorageProjSpec extends AnyFunSuite {
     assert(scaled.collect().toMap.apply(2L).toSeq == Seq(0.6, 0.6, 0.6, 0.6))
   }
 
+  test("spectral Laplacian-of-Laplacian: valid graph over L's rows; lambdas finite") {
+    val items = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val built = DenseLambda.build(spark, items,
+      DenseLambda.Config(maxClusters = 8, spectral = true))
+    assert(built.signals.isDefined)
+    val sig = built.signals.get
+    assert(sig.n == built.csr.n)
+    assert(sig.laplacianViolations(1e-8).isEmpty) // it is itself a valid L = D − W
+    val l = built.lambdas.collect().map(_.getDouble(1))
+    assert(l.forall(v => !v.isNaN && !v.isInfinite)) // spectral λ may leave [0,1]
+    // α=1 search unaffected by the λ graph choice
+    val q = items.filter(_._1 == 0L).head()._2
+    val lq = DenseLambda.queryLambda(q, built)
+    val a = DenseLambda.searchLambdaAware(items, built, q, lq, 5, alpha = 1.0)
+      .collect().map(_.getLong(0)).toSeq
+    val b = DenseLambda.cosineTopK(items, q, 5).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("pilot radius threshold: 1.5×p90 standard path, inter-centroid fallback") {
+    // moderate spread: p90/minInter ≥ 0.01 → standard 1.5×p90 path
+    val blob = (c: Double) => Array.fill(60)(
+      Array(c + rnd.nextGaussian(), c + rnd.nextGaussian()))
+    val rows = blob(0.0) ++ blob(10.0)
+    val r = SeededKMeans.thresholdFromPilot(rows, 2, seed = 42L)
+    assert(r > 1.0 && r < 20.0, s"1.5×p90 of ~chi2(2) spread, got $r")
+    // VERY tight clusters: p90/minInter < 0.01 → the reference's fallback
+    // 0.15 × min inter-centroid d² fires (clustering.rs:472-487) — note it
+    // yields a LARGER radius than the tight within-cluster spread
+    val ident = Array.fill(30)(Array(0.0, 0.0)) ++ Array.fill(30)(Array(10.0, 0.0))
+    val r2 = SeededKMeans.thresholdFromPilot(ident, 2, seed = 42L)
+    assert(math.abs(r2 - 100.0 * 0.15) < 1e-6, s"fallback 15, got $r2")
+  }
+
+  test("samplers: deterministic, rate-respecting, density-adaptive formula") {
+    import graft.lambda.Samplers
+    val s = Samplers.Simple(0.5, seed = 7L)
+    val kept = (0L until 10000L).count(s.shouldKeep)
+    assert(math.abs(kept / 10000.0 - 0.5) < 0.03)
+    assert((0L until 100L).map(s.shouldKeep) == (0L until 100L).map(s.shouldKeep))
+    val da = Samplers.DensityAdaptive(0.5, seed = 7L)
+    // far points (large d²) sampled MORE than near points
+    val rFar = da.adaptiveRate(100.0, 10, 100)
+    val rNear = da.adaptiveRate(0.0, 10, 100)
+    assert(rFar > rNear)
+    // saturation lowers the rate
+    assert(da.adaptiveRate(1.0, 100, 100) < da.adaptiveRate(1.0, 0, 100))
+    // clamped
+    assert(da.adaptiveRate(1e30, 0, 100) == 1.0)
+    assert(Samplers.DensityAdaptive(0.001, 7L).adaptiveRate(0.0, 100, 100) == 0.01)
+  }
+
   test("intrinsic dimension: line ~1, plane ~2, full space higher") {
     def cloud(dim: Int, n: Int): Array[Array[Double]] =
       Array.fill(n)(Array.fill(dim)(rnd.nextDouble()))

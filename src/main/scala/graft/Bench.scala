@@ -94,7 +94,9 @@ object Bench {
       val tb = System.nanoTime()
       index.wandTopKBatch(batch, 10).count()
       val batchSec = (System.nanoTime() - tb) / 1e9
-      // single-query latencies (headline classes)
+      // single-query latencies: distributed path (Spark job per query)
+      // AND the in-memory serving tier (LocalSearcher — comparable to the
+      // reference's in-process 8-19 ms criterion numbers)
       val singles =
         if (!singlesToo) Map.empty[String, Double]
         else {
@@ -104,11 +106,23 @@ object Bench {
             "q3_multi" -> Seq("merge", "segment", "filter"),
             "q4_hot" -> Seq("get"),
             "q5_perturbed" -> queryBatch(nFiles, 5).last._2)
-          cls.map { case (name, q) =>
+          val dist = cls.map { case (name, q) =>
             val t = System.nanoTime()
             index.wandTopK(q, 10).count()
             name -> (System.nanoTime() - t) / 1e9
           }.toMap
+          val local = graft.search.LocalSearcher.fromIndex(index)
+          val serving = cls.map { case (name, q) =>
+            local.topK(q, 10) // warm
+            val reps = 20
+            val times = (1 to reps).map { _ =>
+              val t = System.nanoTime()
+              local.topK(q, 10)
+              (System.nanoTime() - t) / 1e9
+            }.sorted
+            s"serving_$name" -> times(reps / 2) // median
+          }.toMap
+          dist ++ serving
         }
       LevelResult(cpus, buildSec, nFiles / buildSec, batchSec, 1024.0 / batchSec, singles)
     } finally spark.stop()

@@ -1,0 +1,53 @@
+package graft.search
+
+import graft.index.{InvertedIndex, PostingList}
+
+/** In-memory serving mode: the whole compressed index (or a hot shard
+  * subset) collected once, then block-max WAND runs without any Spark
+  * job — millisecond-latency single queries, directly comparable to the
+  * reference's in-process criterion benches
+  * (/root/reference/benches/base_index_bench.json: 8–19 ms per top-3
+  * query). The distributed path (InvertedIndex.wandTopK/wandTopKBatch)
+  * remains the scale path; this is the low-latency serving tier a search
+  * cluster would run per replica over its shard range.
+  */
+final class LocalSearcher(
+    val byTerm: Map[String, Array[PostingList]],
+    val termDf: Map[String, Long],
+    val nDocs: Long,
+    val avgdl: Double,
+    val params: BM25.Params) extends Serializable {
+
+  def idf(term: String): Double =
+    BM25.idf(nDocs.toDouble, termDf.getOrElse(term, 0L).toDouble)
+
+  /** Exact top-k (score DESC, docId ASC) over the in-memory lists: runs
+    * WAND per shard, merges shard top-ks.
+    */
+  def topK(qTerms: Seq[String], k: Int): Array[Wand.Hit] = {
+    val terms = qTerms.distinct.filter(byTerm.contains)
+    if (terms.isEmpty) return Array.empty
+    val idfMap = terms.map(t => t -> idf(t)).toMap
+    val byShard = terms.flatMap(t => byTerm(t)).groupBy(_.shard)
+    val all = byShard.valuesIterator.flatMap { lists =>
+      Wand.topKLists(lists.toSeq, idfMap, params, avgdl, k)
+    }.toArray
+    scala.util.Sorting.stableSort(all,
+      (a: Wand.Hit, b: Wand.Hit) => a.score > b.score || (a.score == b.score && a.docId < b.docId))
+    all.take(k)
+  }
+}
+
+object LocalSearcher {
+
+  /** Collect an index into serving memory (one Spark job; ~bytes of the
+    * compressed postings + term stats).
+    */
+  def fromIndex(index: InvertedIndex): LocalSearcher = {
+    val lists = index.postings.collect()
+    val byTerm = lists.groupBy(_.term).map { case (t, ls) => t -> ls.sortBy(_.shard) }
+    val df = index.termStats.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    new LocalSearcher(byTerm, df, index.nDocs, index.avgdl, index.bm25)
+  }
+}

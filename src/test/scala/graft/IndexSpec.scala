@@ -46,6 +46,30 @@ class IndexSpec extends AnyFunSuite {
     assert(index.avgdl > 10)
   }
 
+  test("hot-term postings split across (nearly) all doc shards — no skewed task") {
+    import spark.implicits._
+    val nShards = math.ceil(nFiles / 128.0).toInt
+    val hotShards = index.postings.filter($"term" === "get")
+      .select("shard").distinct().count()
+    assert(hotShards >= (nShards * 9) / 10,
+      s"hottest term in $hotShards of $nShards shards")
+    // and each shard-list is bounded by the shard size (no single task
+    // ever owns the full Zipf-head list)
+    val maxDf = index.postings.filter($"term" === "get")
+      .agg(org.apache.spark.sql.functions.max($"df")).collect()(0).getLong(0)
+    assert(maxDf <= 128)
+  }
+
+  test("LocalSearcher (in-memory serving) matches the distributed WAND path") {
+    val local = graft.search.LocalSearcher.fromIndex(index)
+    for (q <- Seq(Seq("get"), Seq("data", "index", "merge"), Seq("nosuch"))) {
+      val a = local.topK(q, 10).map(h => (h.docId, h.score)).toSeq
+      val b = index.wandTopK(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a.map(_._1) == b.map(_._1), s"q=$q: $a vs $b")
+      a.zip(b).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
   test("docIds are dense and unique 0..N-1") {
     // validates the pmod(hash(keys), P) == HashPartitioning partition-id
     // identity that the no-shuffle counting pass relies on

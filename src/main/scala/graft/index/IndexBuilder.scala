@@ -217,11 +217,15 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
       .filter($"term".isin(allTerms: _*))
       .groupByKey(_.shard)
       .flatMapGroups { (_, it) =>
-        val byTerm = it.toSeq.groupBy(_.term)
+        // decode each (term, shard) list ONCE; queries share the decoded
+        // arrays via O(1) cursors — decode bandwidth no longer scales
+        // with batch size
+        val byTerm: Map[String, DecodedList] =
+          it.map(pl => pl.term -> DecodedList.from(pl, p, ad)).toMap
         qList.iterator.flatMap { case (qid, ts) =>
-          val lists = ts.flatMap(byTerm.get).flatten
-          if (lists.isEmpty) Iterator.empty
-          else Wand.topKLists(lists, idf, p, ad, k).iterator.map(h => (qid, h.docId, h.score))
+          val cursors = ts.sorted.flatMap(byTerm.get).map(dl => new DecodedCursor(dl, idf(dl.term)))
+          if (cursors.isEmpty) Iterator.empty
+          else Wand.topK(cursors, k).iterator.map(h => (qid, h.docId, h.score))
         }
       }
       .toDF("qid", "doc_id", "score")

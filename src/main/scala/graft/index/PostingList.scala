@@ -130,9 +130,72 @@ object PostingFormat {
   }
 }
 
+/** Fully-decoded posting list: decode ONCE, then share across many
+  * queries (batch execution / the in-memory serving tier). Positions map
+  * to blocks by `pos >> 7` (all blocks are exactly BlockSize=128 except
+  * the last), so block-max metadata keeps working without re-decoding.
+  * `partials` precomputes the idf-free BM25 partial per posting — a
+  * query's contribution is just `idf × partials(pos)`.
+  */
+final class DecodedList(
+    val term: String,
+    val shard: Int,
+    val docIds: Array[Long],
+    val partials: Array[Double],
+    val blockLastDoc: Array[Long],
+    val blockMaxPartial: Array[Double],
+    val maxPartial: Double) extends Serializable
+
+object DecodedList {
+  def from(pl: PostingList, params: BM25.Params, avgdl: Double): DecodedList = {
+    val (ids, tfs, dls) = PostingFormat.decodeAll(pl)
+    val partials = new Array[Double](ids.length)
+    var i = 0
+    while (i < ids.length) {
+      partials(i) = PostingFormat.partial(tfs(i).toDouble, dls(i).toDouble, params, avgdl)
+      i += 1
+    }
+    new DecodedList(pl.term, pl.shard, ids, partials, pl.blockLastDoc,
+      pl.blockMaxPartial, pl.maxPartial)
+  }
+}
+
+/** Zero-decode cursor over a shared DecodedList (one per query per term;
+  * construction is O(1)).
+  */
+final class DecodedCursor(dl: DecodedList, val idf: Double)
+    extends graft.search.Wand.Cursor {
+  var ord: Int = 0
+  private val n = dl.docIds.length
+  private var pos = 0
+
+  val maxScore: Double = idf * dl.maxPartial
+  def exhausted: Boolean = pos >= n
+  def docId: Long = dl.docIds(pos)
+  def score: Double = idf * dl.partials(pos)
+  def blockMaxScore: Double = idf * dl.blockMaxPartial(pos >> 7)
+  def blockLastDocId: Long = dl.blockLastDoc(pos >> 7)
+  def next(): Unit = pos += 1
+
+  def advanceTo(target: Long): Unit = {
+    if (pos >= n || dl.docIds(pos) >= target) return
+    // galloping then binary search — fast for short and long jumps alike
+    var lo = pos
+    var step = 1
+    var hi = pos + 1
+    while (hi < n && dl.docIds(hi) < target) { lo = hi; step <<= 1; hi = math.min(pos + step, n) }
+    // invariant: docIds(lo) < target; docIds(hi) >= target or hi == n
+    while (lo + 1 < hi) {
+      val mid = (lo + hi) >>> 1
+      if (dl.docIds(mid) < target) lo = mid else hi = mid
+    }
+    pos = hi
+  }
+}
+
 /** Forward-only cursor with block skipping; drives block-max WAND. */
 final class PostingCursor(val pl: PostingList, params: BM25.Params, avgdl: Double,
-    val idf: Double) {
+    val idf: Double) extends graft.search.Wand.Cursor {
   /** Creation-order index; WAND sums per-doc contributions in this order
     * so scores are bit-deterministic regardless of cursor sort history.
     */

@@ -331,23 +331,37 @@ object EnergyMaps {
   def queryLambda(q: Array[Double], built: Built): Double =
     syntheticLambdaPrefix(q, built.glEnergy, TauMode.selectTau(q, built.tau))
 
-  /** search_energy: rank by −(wλ·|λq−λᵢ| + wD·boundedL2(q−xᵢ)), truncate
-    * k (energymaps.rs:368-407 with the bounded-L2 fallback of
-    * projected_dirichlet — no spectral signals path yet).
+  /** projected_dirichlet (energymaps.rs:861-876): when a spectral
+    * `signals` matrix exists AND its width matches the diff vector,
+    * energy = bounded L2 of signals·diff; otherwise the bounded-L2
+    * fallback — dimension-mismatch fallback replicated exactly.
+    */
+  def projectedDirichlet(diff: Array[Double], signals: Option[Csr]): Double =
+    signals match {
+      case Some(s) if s.n == diff.length =>
+        val y = s.matvec(diff)
+        val n = l2(y)
+        math.min(n / (1.0 + n), 1.0)
+      case _ => boundedL2(diff)
+    }
+
+  /** search_energy: rank by −(wλ·|λq−λᵢ| + wD·projectedDirichlet(q−xᵢ)),
+    * truncate k (energymaps.rs:368-407).
     */
   def searchEnergy(items: Dataset[(Long, Array[Double])], built: Built,
       q: Array[Double], k: Int, wLambda: Double = 1.0,
-      wDirichlet: Double = 0.5): DataFrame = {
+      wDirichlet: Double = 0.5, signals: Option[Csr] = None): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
     val lq = queryLambda(q, built)
     val bq = spark.sparkContext.broadcast(q)
     val bCsr = spark.sparkContext.broadcast(built.glEnergy)
+    val bSig = spark.sparkContext.broadcast(signals)
     val mode = built.tau
     val scored = items.map { case (id, v) =>
       val li = syntheticLambdaPrefix(v, bCsr.value, TauMode.selectTau(v, mode))
       val diff = bq.value.zip(v).map { case (a, b) => a - b }
-      val dist = wLambda * math.abs(lq - li) + wDirichlet * boundedL2(diff)
+      val dist = wLambda * math.abs(lq - li) + wDirichlet * projectedDirichlet(diff, bSig.value)
       (id, -dist)
     }.toDF("id", "score")
     scored.orderBy(col("score").desc, col("id").asc).limit(k)

@@ -37,6 +37,15 @@ object GraphBuilder {
       normalise: Boolean = false,
       sparsifyRatio: Double = 0.5) {
     def fingerprint: String = s"eps=$eps;k=$k;topk=$topk;p=$p;sigma=$sigma;norm=$normalise"
+
+    /** The builder's topk-override quirk (define_result_k,
+      * /root/reference/src/builder.rs:225-233): k ≤ 5 forces topk = 3,
+      * k < 10 forces topk = 4, larger k leaves the user's topk.
+      */
+    def withDefinedResultK: GraphParams =
+      if (k <= 5) copy(topk = 3)
+      else if (k < 10) copy(topk = 4)
+      else this
   }
 
   /** Z-score columns (the reference's `normalise` is a StandardScaler,

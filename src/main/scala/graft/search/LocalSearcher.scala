@@ -12,7 +12,7 @@ import graft.index.{InvertedIndex, PostingList}
   * cluster would run per replica over its shard range.
   */
 final class LocalSearcher(
-    val byTerm: Map[String, Array[PostingList]],
+    val byTerm: Map[String, Array[graft.index.DecodedList]],
     val termDf: Map[String, Long],
     val nDocs: Long,
     val avgdl: Double,
@@ -21,16 +21,19 @@ final class LocalSearcher(
   def idf(term: String): Double =
     BM25.idf(nDocs.toDouble, termDf.getOrElse(term, 0L).toDouble)
 
-  /** Exact top-k (score DESC, docId ASC) over the in-memory lists: runs
-    * WAND per shard, merges shard top-ks.
+  /** Exact top-k (score DESC, docId ASC) over pre-decoded lists: O(1)
+    * cursor setup per (query, term, shard); WAND per shard, shard top-ks
+    * merged.
     */
   def topK(qTerms: Seq[String], k: Int): Array[Wand.Hit] = {
-    val terms = qTerms.distinct.filter(byTerm.contains)
+    val terms = qTerms.distinct.filter(byTerm.contains).sorted
     if (terms.isEmpty) return Array.empty
     val idfMap = terms.map(t => t -> idf(t)).toMap
     val byShard = terms.flatMap(t => byTerm(t)).groupBy(_.shard)
-    val all = byShard.valuesIterator.flatMap { lists =>
-      Wand.topKLists(lists.toSeq, idfMap, params, avgdl, k)
+    val all = byShard.toSeq.sortBy(_._1).iterator.flatMap { case (_, lists) =>
+      val cursors = lists.sortBy(_.term)
+        .map(dl => new graft.index.DecodedCursor(dl, idfMap(dl.term)))
+      Wand.topK(cursors, k)
     }.toArray
     scala.util.Sorting.stableSort(all,
       (a: Wand.Hit, b: Wand.Hit) => a.score > b.score || (a.score == b.score && a.docId < b.docId))
@@ -40,11 +43,14 @@ final class LocalSearcher(
 
 object LocalSearcher {
 
-  /** Collect an index into serving memory (one Spark job; ~bytes of the
-    * compressed postings + term stats).
+  /** Collect an index into serving memory (one Spark job) and pre-decode
+    * every list — construction pays the decode cost once; queries never
+    * touch compressed bytes again.
     */
   def fromIndex(index: InvertedIndex): LocalSearcher = {
-    val lists = index.postings.collect()
+    val p = index.bm25
+    val ad = index.avgdl
+    val lists = index.postings.collect().map(pl => graft.index.DecodedList.from(pl, p, ad))
     val byTerm = lists.groupBy(_.term).map { case (t, ls) => t -> ls.sortBy(_.shard) }
     val df = index.termStats.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

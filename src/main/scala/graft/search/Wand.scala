@@ -21,6 +21,21 @@ object Wand {
 
   final case class Hit(docId: Long, score: Double)
 
+  /** Cursor contract for block-max WAND (implemented by the
+    * decode-on-the-fly PostingCursor and the batch-mode DecodedCursor).
+    */
+  trait Cursor {
+    var ord: Int
+    def exhausted: Boolean
+    def docId: Long
+    def score: Double
+    def maxScore: Double
+    def blockMaxScore: Double
+    def blockLastDocId: Long
+    def next(): Unit
+    def advanceTo(target: Long): Unit
+  }
+
   /** Worst-first ordering for the k-heap: smaller score is worse; on equal
     * score, larger docId is worse.
     */
@@ -29,7 +44,7 @@ object Wand {
     if (c != 0) -c else java.lang.Long.compare(a.docId, b.docId)
   }
 
-  def topK(cursors0: Seq[PostingCursor], k: Int): Array[Hit] = {
+  def topK(cursors0: Seq[Cursor], k: Int): Array[Hit] = {
     val heap = new scala.collection.mutable.PriorityQueue[Hit]()(worstFirst)
     cursors0.zipWithIndex.foreach { case (c, i) => c.ord = i }
     val nOrd = cursors0.size
@@ -48,7 +63,7 @@ object Wand {
     }
 
     while (cursors.nonEmpty) {
-      java.util.Arrays.sort(cursors, Ordering.by((c: PostingCursor) => c.docId))
+      java.util.Arrays.sort(cursors, Ordering.by((c: Cursor) => c.docId))
       // pivot: smallest prefix whose Σ maxScore can beat θ
       var acc = 0.0
       var p = 0

@@ -60,6 +60,25 @@ class IndexSpec extends AnyFunSuite {
     assert(maxDf <= 128)
   }
 
+  test("wandTopKBatch (decode-once) returns exactly the per-query wandTopK results") {
+    val queries = Seq(
+      0 -> Seq("get"),
+      1 -> Seq("data", "index", "merge"),
+      2 -> Seq("lambda", "energy"),
+      3 -> Seq("nosuchterm"))
+    val batch = index.wandTopKBatch(queries, 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    for ((qid, terms) <- queries) {
+      val single = index.wandTopK(terms, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = batch.getOrElse(qid, Array.empty).sortBy(x => (-x._3, x._2))
+        .map(x => (x._2, x._3)).toSeq
+      assert(b.map(_._1) == single.map(_._1), s"qid=$qid: $b vs $single")
+      b.zip(single).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
   test("LocalSearcher (in-memory serving) matches the distributed WAND path") {
     val local = graft.search.LocalSearcher.fromIndex(index)
     for (q <- Seq(Seq("get"), Seq("data", "index", "merge"), Seq("nosuch"))) {

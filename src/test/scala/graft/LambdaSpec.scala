@@ -138,6 +138,15 @@ class LambdaSpec extends AnyFunSuite {
     }
   }
 
+  test("define_result_k quirk: k<=5 -> topk 3, k<10 -> topk 4, else user value") {
+    import graft.lambda.GraphBuilder.GraphParams
+    assert(GraphParams(k = 2, topk = 8).withDefinedResultK.topk == 3)
+    assert(GraphParams(k = 5, topk = 8).withDefinedResultK.topk == 3)
+    assert(GraphParams(k = 6, topk = 8).withDefinedResultK.topk == 4)
+    assert(GraphParams(k = 9, topk = 8).withDefinedResultK.topk == 4)
+    assert(GraphParams(k = 10, topk = 8).withDefinedResultK.topk == 8)
+  }
+
   test("lambda similarity component: 1 - min(|dl|, 1)") {
     assert(TauMode.lambdaSimilarity(0.5, 0.5) == 1.0)
     assert(TauMode.lambdaSimilarity(0.2, 0.7) == 0.5)

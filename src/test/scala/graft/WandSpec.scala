@@ -118,6 +118,32 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("DecodedCursor path identical to PostingCursor path (rank + score)") {
+    import graft.index.{DecodedCursor, DecodedList}
+    for (_ <- 1 to 15) {
+      val (docs, dls) = randomCorpus(300, 6, 0.15)
+      val avgdl = dls.values.sum.toDouble / dls.size
+      val lists = buildLists(docs, dls, avgdl)
+      val idf = lists.map { case (t, pl) => t -> BM25.idf(300.0, pl.df.toDouble) }
+      val q = lists.keys.toSeq.sorted.take(3)
+      val a = Wand.topKLists(q.flatMap(lists.get), idf, params, avgdl, 10)
+      val decoded = q.flatMap(lists.get).map(pl => DecodedList.from(pl, params, avgdl))
+      val b = Wand.topK(decoded.sortBy(_.term).map(dl => new DecodedCursor(dl, idf(dl.term))), 10)
+      assert(a.map(h => (h.docId, h.score)).toSeq == b.map(h => (h.docId, h.score)).toSeq)
+    }
+  }
+
+  test("DecodedCursor advanceTo gallop: exact positions") {
+    import graft.index.{DecodedCursor, DecodedList}
+    val ids = (0 until 1000).map(i => i.toLong * 3 + 1).toArray
+    val pl = PostingFormat.encode("x", 0, ids, ids.map(_ => 1L), ids.map(_ => 10L), params, 10.0)
+    val c = new DecodedCursor(DecodedList.from(pl, params, 10.0), 1.0)
+    c.advanceTo(500); assert(c.docId == 502)
+    c.advanceTo(502); assert(c.docId == 502) // no-op at target
+    c.advanceTo(2998); assert(c.docId == 2998)
+    c.advanceTo(5000); assert(c.exhausted)
+  }
+
   test("WAND handles terms absent from corpus and k > matches") {
     val (docs, dls) = randomCorpus(20, 3, 0.5)
     val avgdl = dls.values.sum.toDouble / dls.size

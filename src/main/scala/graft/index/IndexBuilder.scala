@@ -26,9 +26,10 @@ object IndexBuilder {
       docsPerShard: Long = 4096L,
       numParts: Int = 32,
       bm25: BM25.Params = BM25.Params(),
-      tokenizer: String = "code") { // "code" | "simple"
+      tokenizer: String = "code", // "code" | "simple"
+      mergeBuckets: Int = 1) { // >1 → the posting merge commits per bucket (mid-merge resume)
     def fingerprint: String =
-      s"dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer"
+      s"dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets"
   }
 
   /** Token stream (doc_id, term) under the configured tokenizer mode. */
@@ -107,22 +108,40 @@ object IndexBuilder {
     val avgdl = meta("avgdl").toDouble
 
     // ---- stage 3: compressed sharded posting lists --------------------
-    Stage.run(s"$dir/postings", "postings", fp) {
+    // mergeBuckets > 1 → the merge commits one shard-range bucket at a
+    // time, each with its own lineage + marker: an interrupted global
+    // merge resumes MID-MERGE, re-running only unfinished buckets (the
+    // north rule's resumable-mid-merge contract; at 10¹²-file scale each
+    // bucket is a restartable unit of the global sort-merge).
+    def buildPostingsInto(outDir: String, bucket: Int, nBuckets: Int): Long = {
       val tf = spark.read.parquet(s"$dir/termfreq")
       val dl = spark.read.parquet(s"$dir/doclens")
       val entries = tf.join(dl, "doc_id")
         .select($"term", ($"doc_id" / lit(p.docsPerShard)).cast("int").as("shard"),
           $"doc_id".as("docId"), $"tf", $"dl")
+        .filter(pmod($"shard", lit(nBuckets)) === bucket)
         .as[PostingEntry]
       val agg = new PostingAgg(p.bm25, avgdl)
       entries
         .groupByKey(e => (e.term, e.shard))
         .agg(agg.toColumn)
         .map(_._2)
-        .repartition(p.numParts, $"shard")
+        .repartition(math.max(p.numParts / nBuckets, 1), $"shard")
         .sortWithinPartitions($"shard", $"term")
-        .write.mode("overwrite").parquet(s"$dir/postings")
-      spark.read.parquet(s"$dir/postings").count()
+        .write.mode("overwrite").parquet(outDir)
+      spark.read.parquet(outDir).count()
+    }
+    if (p.mergeBuckets <= 1) {
+      Stage.run(s"$dir/postings", "postings", fp) {
+        buildPostingsInto(s"$dir/postings", 0, 1)
+      }
+    } else {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/postings"))
+      for (b <- 0 until p.mergeBuckets) {
+        Stage.run(s"$dir/postings/bucket=$b", s"postings/bucket=$b", fp) {
+          buildPostingsInto(s"$dir/postings/bucket=$b", b, p.mergeBuckets)
+        }
+      }
     }
 
     // ---- stage 4: global term document frequencies --------------------
@@ -157,7 +176,13 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
   def bm25: BM25.Params = BM25.Params(meta("k1").toDouble, meta("b").toDouble)
 
   def postings: Dataset[PostingList] =
-    spark.read.parquet(s"$dir/postings").as[PostingList]
+    spark.read.parquet(s"$dir/postings")
+      // explicit projection: a bucketed layout adds a bucket partition
+      // column that the encoder must not see
+      .select("term", "shard", "df", "docBytes", "tfBytes", "dlBytes", "blockLen",
+        "blockLastDoc", "blockDocOff", "blockTfOff", "blockDlOff",
+        "blockMaxPartial", "maxPartial")
+      .as[PostingList]
 
   def termStats: DataFrame = spark.read.parquet(s"$dir/termstats")
 

@@ -160,6 +160,28 @@ class IndexSpec extends AnyFunSuite {
     assert(idx2.wandTopK(Seq("get"), 3).count() == 3)
   }
 
+  test("bucketed merge: identical results; interrupted merge resumes mid-merge") {
+    val t3 = Files.createTempDirectory("graft-idx-bkt").toString
+    val params = IndexBuilder.Params(docsPerShard = 128L, numParts = 8, mergeBuckets = 4)
+    val idxB = IndexBuilder.build(spark, CodeCorpus.generate(spark, nFiles, 42L, 8),
+      s"$t3/idx", corpusFp = s"synthetic:42:$nFiles", params)
+    // same query results as the unbucketed index
+    for (q <- Seq(Seq("get"), Seq("data", "index", "merge"))) {
+      val a = idxB.wandTopK(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = index.wandTopK(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"q=$q")
+    }
+    // simulate a crash between bucket commits: bucket 2 incomplete
+    Files.delete(Paths.get(s"$t3/idx/postings/bucket=2/_SUCCESS_STAGE"))
+    val b1Lineage = Files.readString(Paths.get(s"$t3/idx/postings/bucket=1/_lineage.json"))
+    val idx2 = IndexBuilder.build(spark, sys.error("no corpus regen on mid-merge resume"),
+      s"$t3/idx", corpusFp = s"synthetic:42:$nFiles", params)
+    assert(Files.exists(Paths.get(s"$t3/idx/postings/bucket=2/_SUCCESS_STAGE")))
+    // untouched buckets kept their lineage byte-for-byte
+    assert(Files.readString(Paths.get(s"$t3/idx/postings/bucket=1/_lineage.json")) == b1Lineage)
+    assert(idx2.wandTopK(Seq("get"), 3).count() == 3)
+  }
+
   test("docId assignment is deterministic across rebuilds") {
     val t2 = Files.createTempDirectory("graft-index2").toString
     val idx2 = IndexBuilder.build(

@@ -195,7 +195,31 @@ object SparkEntry {
     // -- multimodal plumbing (decode stage is a documented stub) ---------
     "mm_decode" -> ((s, dir) =>
       graft.ops.Multimodal.decode(
-        graft.ops.Multimodal.synthesize(table(s, dir, "documents"), "doc_id", "text")))
+        graft.ops.Multimodal.synthesize(table(s, dir, "documents"), "doc_id", "text"))),
+
+    // -- remaining search surfaces (not SQL-expressible; rows-only) ------
+    // energy-only pipeline search (E8) over embeddings
+    "energy_search" -> ((s, dir) => {
+      val items = embeddingItems(s, dir)
+      val built = graft.lambda.EnergyMaps.build(s, items,
+        graft.lambda.EnergyMaps.Config(maxClusters = 12))
+      val q = items.filter(_._1 == 0L).head()._2
+      graft.lambda.EnergyMaps.searchEnergy(items, built, q, 10)
+    }),
+    // hybrid search (Q2): λ-top-k ∪ semantic-top-1 ∪ cos>0.9999
+    "hybrid_search" -> ((s, dir) => {
+      val items = embeddingItems(s, dir)
+      val built = graft.lambda.DenseLambda.build(s, items,
+        graft.lambda.DenseLambda.Config(maxClusters = 16))
+      val q = items.filter(_._1 == 0L).head()._2
+      val lq = graft.lambda.DenseLambda.queryLambda(q, built)
+      graft.lambda.DenseLambda.searchHybrid(items, built, q, lq, 10, alpha = 0.9)
+    }),
+    // ZSET-style ordered λ-band paging (Q5)
+    "lambda_zrange" -> ((s, dir) => {
+      val li = documentsLambda(s, dir)
+      li.rangeByScore(0.0, 1.0, offset = 5, count = 10)
+    })
   )
 
   def embeddingItems(s: SparkSession, dir: String) = {

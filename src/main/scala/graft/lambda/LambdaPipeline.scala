@@ -246,4 +246,15 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
     */
   def rangeSearch(lambdaQ: Double, eps: Double): DataFrame =
     lambdas.filter(lit(lambdaQ) - col("lambda") <= eps)
+
+  /** ZSET-style ordered λ-band lookup (Q5, the reference's BTreeMap
+    * range_byscore example — /root/reference/examples/
+    * 02_proteins_lookup.rs:187-236): docs with λ ∈ [min, max], ordered by
+    * (λ, doc_id) with lexicographic-id tie-break, offset/limit paging.
+    */
+  def rangeByScore(min: Double, max: Double, offset: Int, count: Int): DataFrame =
+    lambdas.filter(col("lambda") >= min && col("lambda") <= max)
+      .orderBy(col("lambda").asc, col("doc_id").asc)
+      .limit(offset + count)
+      .offset(offset)
 }

@@ -7,12 +7,13 @@ import graft.tokenize.CodeTokenizer
 
 /** Benchmark harness (driver contract: print ONE JSON line).
   *
-  * Two parts:
-  *  1. Headline single-query latencies + a 64-query batch over the
-  *     synthesized code corpus at the driver-provided parallelism.
-  *  2. The north rule's two-cluster-size scaling evidence: the SAME
-  *     build+query job at local[8] (N) and local[32] (4N) on the SAME
-  *     corpus; scaling efficiency = throughput(4N) / (4 × throughput(N)).
+  * Three parts:
+  *  1. The north rule's two-cluster-size scaling evidence: the SAME
+  *     build+query job at local[2] (N) and local[8] (4N) on the SAME
+  *     corpus, best-of-two per level; efficiency = thr(4N)/(4·thr(N)).
+  *  2. Peak single-box throughput at local[32] (full machine).
+  *  3. Headline single-query latencies — distributed and in-memory
+  *     serving (LocalSearcher) paths.
   *
   * Query classes follow FIXTURES.md §B: Q1 common token, Q2 rare needle,
   * Q3 multi-term medium, Q4 hottest term, Q5 perturbed-document terms

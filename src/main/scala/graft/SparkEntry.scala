@@ -219,7 +219,32 @@ object SparkEntry {
     "lambda_zrange" -> ((s, dir) => {
       val li = documentsLambda(s, dir)
       li.rangeByScore(0.0, 1.0, offset = 5, count = 10)
-    })
+    }),
+
+    // IVF with nprobe == nlist degenerates to exact brute force —
+    // SQL-oracle-checkable proof of the ANN machinery
+    "ann_ivf_exact" -> ((s, dir) => {
+      val items = embeddingItems(s, dir)
+      val ivf = graft.ops.Similarity.buildIvf(items, nlist = 8)
+      val q = items.filter(_._1 == 0L).head()._2
+      graft.ops.Similarity.ivfTopK(items, ivf, q, 10, nprobe = 8)
+        .withColumn("cos", round(col("cos"), 6))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    // α=1 blended ranking must equal the pure BM25 ranking (rank-identity
+    // through the gate: emit ranks, not the rescaled scores)
+    "blended_alpha1" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = documentsLambda(s, dir)
+        .blendedTopK(documentsIndex(s, dir), "spark query vector", 10, alpha = 1.0)
+      top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("rank"), col("doc_id"))
+    }),
+    // full near-dedup pipeline: LSH candidates -> Jaccard verify -> keep set
+    "near_dedup_keep" -> ((s, dir) =>
+      graft.ops.Dedup.nearDedupKeep(table(s, dir, "documents"), "text", "doc_id",
+        n = 3, numHashes = 16, rowsPerBand = 4, minJ = 0.5))
   )
 
   def embeddingItems(s: SparkSession, dir: String) = {
@@ -280,6 +305,47 @@ object SparkEntry {
         |SELECT term, count(*) AS df FROM tf GROUP BY term""".stripMargin,
     "bm25_topk" -> bm25OracleSql(Seq("spark", "query", "vector"), 10),
     "wand_topk" -> bm25OracleSql(Seq("stream", "merge", "window"), 10),
+    "blended_alpha1" -> {
+      // identical CTEs to the BM25 oracle, but emit (rank, doc_id):
+      // α=1 blending rescales scores by a positive constant, so ranks
+      // must match the pure BM25 ranking exactly
+      val base = bm25OracleSql(Seq("spark", "query", "vector"), 10)
+      base.replace(
+        "SELECT doc_id, round(scored.score, 4) AS score FROM scored",
+        "SELECT CAST(row_number() OVER (ORDER BY scored.score DESC, doc_id ASC) AS INT) AS rank, doc_id FROM scored")
+    },
+    "near_dedup_keep" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+        |  FROM arrs CROSS JOIN generate_series(1, 4096) g(i)
+        |  WHERE i + 2 <= len(arr)),
+        |mh AS (
+        |  SELECT doc_id, h, min(md5(h || ':' || shingle)) AS minhash
+        |  FROM sh CROSS JOIN generate_series(0, 15) g(h)
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, CAST(floor(h / 4) AS INT) AS band,
+        |    md5(string_agg(h || '_' || minhash, '|' ORDER BY h || '_' || minhash)) AS bucket
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |ver AS (
+        |  SELECT c.d1, c.d2
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.d1
+        |  JOIN sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
+        |  JOIN sizes za ON za.doc_id = c.d1
+        |  JOIN sizes zb ON zb.doc_id = c.d2
+        |  GROUP BY c.d1, c.d2, za.sz, zb.sz
+        |  HAVING count(*) * 1.0 / (za.sz + zb.sz - count(*)) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT d2 FROM ver)""".stripMargin,
     "q_join" ->
       """SELECT n_name, c_mktsegment,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
@@ -417,7 +483,14 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM flagged GROUP BY user_id""".stripMargin,
     // embeddings are fixed 64-dim across all sf dirs
-    "cosine_topk" ->
+    "ann_ivf_exact" -> cosineTopKOracleSql,
+    "cosine_topk" -> cosineTopKOracleSql
+  )
+
+  /** DuckDB brute-force cosine top-10 oracle (shared by cosine_topk and
+    * the exact-IVF equivalence query).
+    */
+  def cosineTopKOracleSql: String =
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |idx AS (SELECT i FROM generate_series(1, 64) AS g(i)),
         |pairs AS (
@@ -429,7 +502,6 @@ object SparkEntry {
         |  GROUP BY e.vec_id)
         |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM pairs
         |ORDER BY pairs.dot / (sqrt(pairs.na) * sqrt(pairs.nb)) DESC, vec_id ASC LIMIT 10""".stripMargin
-  )
 
   /** DuckDB BM25 oracle: same formula, same tokenizer, same tie-break. */
   def bm25OracleSql(qTerms: Seq[String], k: Int): String = {

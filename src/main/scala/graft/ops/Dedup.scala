@@ -116,6 +116,29 @@ object Dedup {
         x => when(x.getField("s") > 0, "1").otherwise("0")), "").as("simhash"))
   }
 
+  /** Full near-dedup pipeline: MinHash-LSH candidates → exact Jaccard
+    * verification at `minJ` → survivor set (drop the larger id of every
+    * verified duplicate pair). Returns the KEPT doc ids. This is the
+    * scale path end-to-end: the quadratic Jaccard join runs only on
+    * bucket-colliding candidate pairs.
+    */
+  def nearDedupKeep(docs: DataFrame, textCol: String, idCol: String, n: Int,
+      numHashes: Int, rowsPerBand: Int, minJ: Double): DataFrame = {
+    val cand = lshCandidates(lshBuckets(minhashRows(docs, textCol, idCol, n, numHashes), rowsPerBand))
+    val ds = docShingles(docs, textCol, idCol, n)
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val verified = cand
+      .join(ds.withColumnRenamed("doc_id", "d1").withColumnRenamed("shingle", "s1"), "d1")
+      .join(ds.withColumnRenamed("doc_id", "d2").withColumnRenamed("shingle", "s2"), "d2")
+      .filter(col("s1") === col("s2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "z1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "z2"), "d2")
+      .filter(col("shared") / (col("z1") + col("z2") - col("shared")) >= minJ)
+    docs.select(col(idCol).as("doc_id"))
+      .join(verified.select(col("d2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   /** Hamming distance between two equal-length bit-strings (candidate
     * verification for SimHash buckets).
     */

@@ -87,6 +87,14 @@ class LambdaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeByScore: ordered (lambda, doc_id) paging within the band") {
+    val all = li.lambdas.collect()
+      .map(r => (r.getDouble(1), r.getLong(0))).sorted
+    val page = li.rangeByScore(0.0, 1.0, offset = 3, count = 5).collect()
+      .map(r => (r.getDouble(1), r.getLong(0))).toSeq
+    assert(page == all.slice(3, 8).toSeq)
+  }
+
   test("resume: λ stages skip on rebuild with same fingerprint") {
     li // force
     val t0 = System.nanoTime()

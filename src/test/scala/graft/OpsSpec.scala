@@ -60,6 +60,14 @@ class OpsSpec extends AnyFunSuite {
       s"near-dup hamming ${ham(sh(1L), sh(3L))} !< unrelated ${ham(sh(1L), sh(5L))}")
   }
 
+  test("nearDedupKeep: drops larger ids of verified dups, keeps everything else") {
+    val kept = Dedup.nearDedupKeep(docs, "text", "doc_id", n = 3, numHashes = 16,
+      rowsPerBand = 4, minJ = 0.5).collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(2L), "doc 2 is an exact dup of doc 1 and must be dropped")
+    assert(kept.contains(1L), "the smaller id of the dup pair survives")
+    assert(kept.contains(5L) && kept.contains(6L), "non-dups survive")
+  }
+
   test("hammingBits column matches scala hamming") {
     val df = Seq(("10101", "10011")).toDF("a", "b")
     assert(df.select(Dedup.hammingBits($"a", $"b")).collect()(0).getInt(0) == 2)

@@ -159,6 +159,72 @@ object SeededKMeans {
     bestK
   }
 
+  /** The reference's single-pass incremental clustering in its
+    * deterministic (sequential) mode
+    * (run_incremental_clustering_with_sampling,
+    * /root/reference/src/clustering.rs:547-910 with
+    * deterministic_clustering=true ⇒ sequential processing,
+    * clustering.rs:842-846). Per row, in order:
+    *  - optional seeded sampler gate (the reference's is OS-seeded);
+    *  - first row (or empty centroid set) → create centroid;
+    *  - create a new centroid when under the cap AND d² > radius·0.5
+    *    ("avoid overfitting the radius");
+    *  - else if d² ≤ radius → assign + running-mean update
+    *    c += (x − c)/(k+1);
+    *  - else soft-outlier policy: assign WITHOUT moving the centroid when
+    *    d² ≤ 1.5·radius; otherwise drop (assignment None).
+    *
+    * Driver-local over a sample/collected rows — the order-dependence is
+    * inherent to the algorithm; the scalable pipelines use the
+    * sample→fit→assign path instead (COVERAGE.md C8).
+    */
+  def incrementalClustering(rows: Array[Array[Double]], maxClusters: Int,
+      radius: Double, sampler: Option[Long => Boolean] = None):
+      (Array[Array[Double]], Array[Option[Int]], Array[Int]) = {
+    val centroids = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val counts = scala.collection.mutable.ArrayBuffer[Int]()
+    val assignments = Array.fill[Option[Int]](rows.length)(None)
+    def nearest(row: Array[Double]): (Int, Double) = {
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val d = sqDist(row, centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, bestD)
+    }
+    for (i <- rows.indices) {
+      val row = rows(i)
+      val (_, snapDist) = if (centroids.isEmpty) (0, Double.PositiveInfinity) else nearest(row)
+      val keep = sampler.forall(f => f(i.toLong))
+      if (keep) {
+        if (centroids.isEmpty || (centroids.length < maxClusters && snapDist > radius * 0.5)) {
+          centroids += row.clone()
+          counts += 1
+          assignments(i) = Some(centroids.length - 1)
+        } else if (snapDist <= radius) {
+          val (best, _) = nearest(row)
+          val kNew = counts(best) + 1.0
+          var j = 0
+          while (j < row.length) {
+            centroids(best)(j) += (row(j) - centroids(best)(j)) / kNew
+            j += 1
+          }
+          counts(best) += 1
+          assignments(i) = Some(best)
+        } else {
+          val (best, d) = nearest(row)
+          if (d <= radius * 1.5) { // soft outlier: count, don't move
+            counts(best) += 1
+            assignments(i) = Some(best)
+          } // else dropped
+        }
+      }
+    }
+    (centroids.toArray, assignments, counts.toArray)
+  }
+
   /** Pilot-based clustering radius (compute_threshold_from_pilot,
     * clustering.rs:384-492): fit k-means on the pilot, take the 90th
     * percentile (ceil-rank) of within-cluster squared distances; when

@@ -170,6 +170,30 @@ class StorageProjSpec extends AnyFunSuite {
     assert(Samplers.DensityAdaptive(0.001, 7L).adaptiveRate(0.0, 100, 100) == 0.01)
   }
 
+  test("incremental clustering (sequential deterministic mode): semantics") {
+    import graft.lambda.SeededKMeans.incrementalClustering
+    // two separated blobs, interleaved arrival order
+    val rows = (0 until 60).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 10.0
+      Array(c + rnd.nextGaussian() * 0.05, c)
+    }.toArray
+    val (cents, assign, counts) = incrementalClustering(rows, maxClusters = 8, radius = 1.0)
+    assert(cents.length >= 2 && cents.length <= 8)
+    assert(assign.forall(_.isDefined)) // nothing dropped: everything within radius
+    assert(counts.sum == 60)
+    // deterministic: same input, same output
+    val (c2, a2, _) = incrementalClustering(rows, 8, 1.0)
+    assert(c2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq && a2.toSeq == assign.toSeq)
+    // far outlier beyond 1.5×radius gets dropped once saturated
+    val withOutlier = rows ++ Array(Array(1000.0, 1000.0))
+    val (cents3, assign3, _) = incrementalClustering(withOutlier, maxClusters = 2, radius = 1.0)
+    assert(cents3.length == 2)
+    assert(assign3.last.isEmpty, "far outlier must be dropped when saturated")
+    // sampler gate: rejecting everything yields no centroids
+    val (c4, a4, _) = incrementalClustering(rows, 8, 1.0, sampler = Some(_ => false))
+    assert(c4.isEmpty && a4.forall(_.isEmpty))
+  }
+
   test("intrinsic dimension: line ~1, plane ~2, full space higher") {
     def cloud(dim: Int, n: Int): Array[Array[Double]] =
       Array.fill(n)(Array.fill(dim)(rnd.nextDouble()))

@@ -123,6 +123,22 @@ class LambdaSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse lambda == dense lambda with NEGATIVE support values") {
+    for (_ <- 1 to 20) {
+      val n = 10 + rnd.nextInt(40)
+      val g = randomLaplacian(n)
+      val supportSize = 1 + rnd.nextInt(math.max(1, n / 2))
+      val support = rnd.shuffle((0 until n).toList).take(supportSize).sorted.toArray
+      val xs = support.map(_ => rnd.nextDouble() * 6 - 3) // mixed signs
+      val dense = new Array[Double](n)
+      support.zip(xs).foreach { case (i, v) => dense(i) = v }
+      val tau = 0.7
+      val a = TauMode.syntheticLambdaDense(dense, g, tau)
+      val b = TauMode.syntheticLambdaSparse(support, xs, g, tau)
+      assert(math.abs(a - b) < 1e-12, s"dense=$a sparse=$b")
+    }
+  }
+
   test("tauOverSparse == selectTau on the densified vector") {
     for (_ <- 1 to 50) {
       val n = 5 + rnd.nextInt(50)

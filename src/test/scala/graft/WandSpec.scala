@@ -93,6 +93,31 @@ class WandSpec extends AnyFunSuite {
     assert(seen.toSeq == ids.toSeq)
   }
 
+  test("block-max WAND == brute force on adversarial tie-heavy corpora") {
+    // many docs with IDENTICAL term profiles → massed score ties: the
+    // docId tie-break and the <=θ pruning-with-ties logic get exercised
+    for (trial <- 1 to 10) {
+      val nDocs = 400
+      val profiles = Array.fill(5)((0 until 4).flatMap { t =>
+        if (rnd.nextDouble() < 0.6) Some(s"t$t" -> (1L + rnd.nextInt(3))) else None
+      }.toMap)
+      val docs = (0L until nDocs.toLong).map(d => d -> profiles((d % 5).toInt)).toMap
+      val dls = docs.map { case (d, ts) => d -> math.max(1L, ts.values.sum) }
+      val avgdl = dls.values.sum.toDouble / dls.size
+      val lists = buildLists(docs, dls, avgdl)
+      if (lists.nonEmpty) {
+        val idf = lists.map { case (t, pl) => t -> BM25.idf(nDocs.toDouble, pl.df.toDouble) }
+        val q = lists.keys.toSeq.sorted.take(2)
+        for (k <- Seq(3, 17)) {
+          val want = bruteTopK(docs, dls, idf, avgdl, q, k)
+          val got = Wand.topKLists(q.flatMap(lists.get), idf, params, avgdl, k)
+            .map(h => (h.docId, h.score)).toSeq
+          assert(got.map(_._1) == want.map(_._1), s"trial=$trial k=$k: $got vs $want")
+        }
+      }
+    }
+  }
+
   test("block-max WAND == brute force on random corpora (rank + score)") {
     for (trial <- 1 to 30) {
       val nDocs = 50 + rnd.nextInt(900)

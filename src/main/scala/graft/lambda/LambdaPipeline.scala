@@ -240,6 +240,19 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
     if (roundTo >= 0) top.withColumn("score", round(col("score"), roundTo)) else top
   }
 
+  /** Register the λτ aggregation as a SQL-callable UDAF (SURVEY.md §4
+    * item 3): after this, `SELECT docId, <name>(docId, termIdx, weight)
+    * FROM ... GROUP BY docId` computes the same synthetic λ as the typed
+    * pipeline — the aggregation is usable from the pure-SQL surface, not
+    * only the Dataset API.
+    */
+  def registerSqlUdaf(spark: SparkSession, name: String = "lambda_tau"): Unit = {
+    val bCsr = spark.sparkContext.broadcast(csr)
+    val agg = new LambdaAgg(bCsr, graphProps("nNodes").toInt, tauMode)
+    spark.udf.register(name,
+      org.apache.spark.sql.functions.udaf(agg, org.apache.spark.sql.Encoders.product[DocTermEntry]))
+  }
+
   /** One-sided λ-band range search (quirk replicated verbatim from
     * /root/reference/src/core.rs:944-976: keeps docs with λq − λd ≤ eps,
     * i.e. every doc with λd ≥ λq − eps).

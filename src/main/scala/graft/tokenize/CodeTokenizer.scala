@@ -20,6 +20,14 @@ import scala.collection.mutable.ArrayBuffer
   */
 object CodeTokenizer {
 
+  /** Register both tokenizer modes as SQL functions so the pure-SQL
+    * surface can tokenize: `SELECT explode(code_tokens(content)) ...`.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("code_tokens", (s: String) => if (s == null) Array.empty[String] else codeTokens(s))
+    spark.udf.register("simple_tokens", (s: String) => if (s == null) Array.empty[String] else simpleTokens(s))
+  }
+
   /** Lowercase + split on runs of anything outside [a-z0-9]. */
   def simpleTokens(text: String): Array[String] =
     text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)

@@ -87,6 +87,30 @@ class LambdaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL UDAF: lambda_tau over SQL == the typed pipeline's lambdas") {
+    li.registerSqlUdaf(spark, "lambda_tau_test")
+    spark.read.parquet(s"$tmp/lam/docterms").createOrReplaceTempView("docterms_v")
+    val viaSql = spark.sql(
+      """SELECT docId AS doc_id, lambda_tau_test(docId, termIdx, weight) AS lambda
+        |FROM docterms_v GROUP BY docId""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val viaPipeline = li.lambdas.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(viaSql.size == viaPipeline.size)
+    viaPipeline.foreach { case (id, l) =>
+      assert(math.abs(viaSql(id) - l) < 1e-12, s"doc $id: ${viaSql(id)} vs $l")
+    }
+  }
+
+  test("SQL tokenizer functions match the Scala tokenizer") {
+    graft.tokenize.CodeTokenizer.registerSql(spark)
+    import spark.implicits._
+    val got = spark.sql(
+      "SELECT code_tokens('def getValueIndex(data_key: Int)') AS t").collect()(0).getSeq[String](0)
+    assert(got == graft.tokenize.CodeTokenizer.codeTokens("def getValueIndex(data_key: Int)").toSeq)
+    val got2 = spark.sql("SELECT simple_tokens('Hello, World-42!') AS t").collect()(0).getSeq[String](0)
+    assert(got2 == Seq("hello", "world", "42"))
+  }
+
   test("rangeByScore: ordered (lambda, doc_id) paging within the band") {
     val all = li.lambdas.collect()
       .map(r => (r.getDouble(1), r.getLong(0))).sorted

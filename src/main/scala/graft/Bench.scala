@@ -181,6 +181,11 @@ object Bench {
         s""""qps_n2":${f(r2.qps)},"qps_n8":${f(r8.qps)},"qps_n32_full":${f(r32.qps)},""" +
         s""""scaling_efficiency_build":${f(effBuild)},"scaling_efficiency_qps":${f(effQps)}}"""
     println(json)
+    // machine-readable copy: the driver parses the printed line, but a
+    // logger-decorated stdout (round-1 failure mode) must not lose the
+    // result — BENCH.json always carries the identical payload
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
+    catch { case _: Throwable => () }
     // human-readable record for BASELINE.md cross-reference
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"),

@@ -68,9 +68,13 @@ object IndexBuilder {
     val fp = Stage.fingerprintOf(corpusFp, p.fingerprint)
 
     // ---- stage 1: docs table + sha256 invariant column ----------------
+    // NOTE: stages do NOT re-read their output for a row count — the
+    // read-back was one full extra scan (plus a job-scheduling floor)
+    // per stage, which inflated the fixed Amdahl floor of the scaling
+    // measurement. Lineage records rows = -1 ("not counted").
     Stage.run(s"$dir/docs", "docs", fp) {
       stage1().write.mode("overwrite").parquet(s"$dir/docs")
-      spark.read.parquet(s"$dir/docs").count()
+      -1L
     }
     def docs: Dataset[Doc] = spark.read.parquet(s"$dir/docs")
       .select("docId", "repo", "path", "commit", "lang", "content").as[Doc]
@@ -81,7 +85,7 @@ object IndexBuilder {
       tokens(docs, p.tokenizer)
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
         .write.mode("overwrite").parquet(s"$dir/termfreq")
-      spark.read.parquet(s"$dir/termfreq").count()
+      -1L
     }
 
     // ---- stage 2b: doc lengths + corpus stats -------------------------
@@ -129,7 +133,21 @@ object IndexBuilder {
         .repartition(math.max(p.numParts / nBuckets, 1), $"shard")
         .sortWithinPartitions($"shard", $"term")
         .write.mode("overwrite").parquet(outDir)
-      spark.read.parquet(outDir).count()
+      -1L
+    }
+    // Postings layout guard (a mergeBuckets change alters the directory
+    // SHAPE — root part-files for mb=1 vs bucket=N subdirs — and the
+    // per-bucket stage fingerprints cannot see orphaned siblings from an
+    // older layout; mixed stale+fresh lists would silently corrupt df
+    // stats and query results). The layout marker lives OUTSIDE the
+    // postings dir so per-bucket stage wipes never delete it; any
+    // mismatch wipes the whole postings tree before rebuilding.
+    val layoutPath = Paths.get(s"$dir/postings._layout.props")
+    val wantLayout = s"mergeBuckets=${p.mergeBuckets}\n"
+    val haveLayout = if (Files.exists(layoutPath)) Files.readString(layoutPath) else ""
+    if (haveLayout != wantLayout) {
+      Stage.deleteRecursive(Paths.get(s"$dir/postings"))
+      Files.writeString(layoutPath, wantLayout)
     }
     if (p.mergeBuckets <= 1) {
       Stage.run(s"$dir/postings", "postings", fp) {
@@ -149,7 +167,7 @@ object IndexBuilder {
       spark.read.parquet(s"$dir/postings")
         .groupBy($"term").agg(sum($"df").as("df"))
         .write.mode("overwrite").parquet(s"$dir/termstats")
-      spark.read.parquet(s"$dir/termstats").count()
+      -1L
     }
 
     new InvertedIndex(spark, dir)
@@ -188,15 +206,30 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
 
   def docs: DataFrame = spark.read.parquet(s"$dir/docs")
 
-  /** Global per-term idf map for a query (tiny collect; filter pushes to
-    * the termstats parquet scan).
+  /** Per-handle idf memo: repeated queries on the same terms skip the
+    * termstats job entirely (one extra Spark job per query otherwise).
+    * `None` records "term absent from the index" so misses don't
+    * re-query either. At 10¹²-doc scale the FULL termstats table is not
+    * collectable, but a serving process's working set of query terms is.
+    */
+  @transient private lazy val idfCache =
+    new scala.collection.concurrent.TrieMap[String, Option[Double]]()
+
+  /** Global per-term idf map for a query (tiny collect of only the
+    * not-yet-cached terms; filter pushes to the termstats parquet scan).
     */
   def idfFor(qTerms: Seq[String]): Map[String, Double] = {
-    val n = nDocs.toDouble
-    termStats.filter($"term".isin(qTerms: _*))
-      .collect()
-      .map(r => r.getString(0) -> BM25.idf(n, r.getLong(1).toDouble))
-      .toMap
+    val distinct = qTerms.distinct
+    val missing = distinct.filterNot(idfCache.contains)
+    if (missing.nonEmpty) {
+      val n = nDocs.toDouble
+      val found = termStats.filter($"term".isin(missing: _*))
+        .collect()
+        .map(r => r.getString(0) -> BM25.idf(n, r.getLong(1).toDouble))
+        .toMap
+      missing.foreach(t => idfCache.put(t, found.get(t)))
+    }
+    distinct.flatMap(t => idfCache(t).map(t -> _)).toMap
   }
 
   /** Distributed block-max WAND top-k: per doc-shard tasks run exact

@@ -39,6 +39,13 @@ case class PostingList(
 
 object PostingFormat {
   val BlockSize = 128
+  /** log2(BlockSize), derived (not hardcoded) so position→block mapping
+    * in DecodedCursor can never drift from the encoder's block size.
+    */
+  val BlockShift: Int = {
+    require(Integer.bitCount(BlockSize) == 1, "BlockSize must be a power of two")
+    Integer.numberOfTrailingZeros(BlockSize)
+  }
 
   /** Encode one (term, shard) list from docId-sorted postings. */
   def encode(term: String, shard: Int,
@@ -132,8 +139,9 @@ object PostingFormat {
 
 /** Fully-decoded posting list: decode ONCE, then share across many
   * queries (batch execution / the in-memory serving tier). Positions map
-  * to blocks by `pos >> 7` (all blocks are exactly BlockSize=128 except
-  * the last), so block-max metadata keeps working without re-decoding.
+  * to blocks by `pos >> BlockShift` (all blocks are exactly BlockSize
+  * except the last), so block-max metadata keeps working without
+  * re-decoding.
   * `partials` precomputes the idf-free BM25 partial per posting — a
   * query's contribution is just `idf × partials(pos)`.
   */
@@ -173,8 +181,8 @@ final class DecodedCursor(dl: DecodedList, val idf: Double)
   def exhausted: Boolean = pos >= n
   def docId: Long = dl.docIds(pos)
   def score: Double = idf * dl.partials(pos)
-  def blockMaxScore: Double = idf * dl.blockMaxPartial(pos >> 7)
-  def blockLastDocId: Long = dl.blockLastDoc(pos >> 7)
+  def blockMaxScore: Double = idf * dl.blockMaxPartial(pos >> PostingFormat.BlockShift)
+  def blockLastDocId: Long = dl.blockLastDoc(pos >> PostingFormat.BlockShift)
   def next(): Unit = pos += 1
 
   def advanceTo(target: Long): Unit = {

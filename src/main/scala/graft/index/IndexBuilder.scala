@@ -293,6 +293,35 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
       .select($"qid", $"doc_id", $"score", $"rank")
   }
 
+  /** Bound-safe candidate generation for blended re-ranking: per
+    * doc-shard block-max WAND with the pruning threshold deflated by
+    * `slack` (raw-BM25 units), returning each shard's
+    * { doc : bm25 ≥ shardKthBest − slack } with EXACT scores
+    * (Wand.candidatesWithSlack). The union over shards is a superset of
+    * the global { doc : bm25 ≥ globalKthBest − slack } because every
+    * shard's k-th best ≤ the global k-th best — so a downstream blend
+    * that re-ranks these candidates and takes k is exact.
+    *
+    * This is the hot-term scale path for LambdaIndex.blendedTopK: decode
+    * cost follows the pruned WAND frontier instead of every posting of
+    * every query term.
+    */
+  def wandCandidates(qTerms: Seq[String], k: Int, slack: Double): DataFrame = {
+    val terms = qTerms.distinct
+    val idf = idfFor(terms)
+    val p = bm25
+    val ad = avgdl
+    postings
+      .filter($"term".isin(terms: _*))
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val cursors = it.toSeq.sortBy(_.term)
+          .map(pl => new PostingCursor(pl, p, ad, idf(pl.term)))
+        Wand.candidatesWithSlack(cursors, k, slack).iterator.map(h => (h.docId, h.score))
+      }
+      .toDF("doc_id", "bm25")
+  }
+
   /** Exhaustive decode-and-score of every doc matching ≥1 query term:
     * (doc_id, bm25). No pruning — feeds re-rankers (λ blend) and serves
     * as the correctness oracle for wandTopK.

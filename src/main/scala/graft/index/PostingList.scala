@@ -37,6 +37,17 @@ case class PostingList(
     maxPartial: Double
 )
 
+/** Process-wide posting-decode counters — measurement hooks proving that
+  * pruning actually engages (block-max WAND / bounded blend candidates
+  * decode a strict subset of blocks vs exhaustive scoring). LongAdder:
+  * safe under local-mode executor threads; negligible write cost.
+  */
+object PostingStats {
+  val blocksDecoded = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = blocksDecoded.reset()
+  def decoded(): Long = blocksDecoded.sum()
+}
+
 object PostingFormat {
   val BlockSize = 128
   /** log2(BlockSize), derived (not hardcoded) so position→block mapping
@@ -117,6 +128,7 @@ object PostingFormat {
     val dls = new Array[Long](n)
     var pos = 0
     var b = 0
+    PostingStats.blocksDecoded.add(pl.blockLen.length.toLong)
     while (b < pl.blockLen.length) {
       val len = pl.blockLen(b)
       val (deltas, _) = Codec.forDecodeBlock(pl.docBytes, pl.blockDocOff(b), len)
@@ -183,6 +195,14 @@ final class DecodedCursor(dl: DecodedList, val idf: Double)
   def score: Double = idf * dl.partials(pos)
   def blockMaxScore: Double = idf * dl.blockMaxPartial(pos >> PostingFormat.BlockShift)
   def blockLastDocId: Long = dl.blockLastDoc(pos >> PostingFormat.BlockShift)
+
+  override def boundaryWithMaxBelow(limit: Double): Long = {
+    var b = pos >> PostingFormat.BlockShift
+    val nB = dl.blockLastDoc.length
+    while (b + 1 < nB && idf * dl.blockMaxPartial(b + 1) < limit) b += 1
+    dl.blockLastDoc(b)
+  }
+
   def next(): Unit = pos += 1
 
   def advanceTo(target: Long): Unit = {
@@ -221,6 +241,7 @@ final class PostingCursor(val pl: PostingList, params: BM25.Params, avgdl: Doubl
 
   private def loadBlock(b: Int): Unit = {
     if (b >= nBlocks) { exhaustedFlag = true; return }
+    PostingStats.blocksDecoded.increment()
     val len = pl.blockLen(b)
     val (deltas, _) = Codec.forDecodeBlock(pl.docBytes, pl.blockDocOff(b), len)
     var prev = if (b == 0) 0L else pl.blockLastDoc(b - 1)
@@ -246,6 +267,16 @@ final class PostingCursor(val pl: PostingList, params: BM25.Params, avgdl: Doubl
 
   /** Last docId of the current block (shallow-advance boundary). */
   def blockLastDocId: Long = pl.blockLastDoc(blockIdx)
+
+  /** Cross-block BMW boundary over block METADATA only — the run of
+    * consecutive blocks (from the current one) whose max score stays
+    * < limit is skipped without ever decoding those blocks.
+    */
+  override def boundaryWithMaxBelow(limit: Double): Long = {
+    var b = blockIdx
+    while (b + 1 < nBlocks && idf * pl.blockMaxPartial(b + 1) < limit) b += 1
+    pl.blockLastDoc(b)
+  }
 
   def next(): Unit = {
     pos += 1

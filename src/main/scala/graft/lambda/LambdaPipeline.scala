@@ -228,7 +228,17 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
     val lq = queryLambda(qCounts)
     val idf = index.idfFor(qTerms.distinct)
     val ubNorm = idf.values.map(_ * (index.bm25.k1 + 1.0)).sum.max(1e-12)
-    val bm25All = index.scoreAllMatching(qTerms.distinct)
+    // Candidate generation is bound-safe block-max WAND, NOT exhaustive
+    // decode-and-score: the λ component of the blend is bounded by
+    // (1−α)·1, so WAND pruning stays exact with the threshold deflated
+    // by that ceiling — slack in raw-BM25 units = (1−α)/α·ubNorm
+    // (because score = α·bm25/ubNorm + λpart). λ is then joined ONLY for
+    // the surviving candidates. α = 0 has no BM25 signal to prune on →
+    // the reference's full-scan semantics (core.rs:760-798) via
+    // scoreAllMatching.
+    val bm25All =
+      if (alpha <= 0.0) index.scoreAllMatching(qTerms.distinct)
+      else index.wandCandidates(qTerms.distinct, k, (1.0 - alpha) / alpha * ubNorm)
     val scored = bm25All
       .join(lambdas, Seq("doc_id"), "left")
       .na.fill(0.0, Seq("lambda"))

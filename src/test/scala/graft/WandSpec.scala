@@ -169,6 +169,104 @@ class WandSpec extends AnyFunSuite {
     c.advanceTo(5000); assert(c.exhausted)
   }
 
+  /** Full brute-force score table (term-sorted summation order — the
+    * same order candidatesWithSlack sums in).
+    */
+  def bruteScores(docs: Map[Long, Map[String, Long]], dls: Map[Long, Long],
+      idf: Map[String, Double], avgdl: Double, q: Seq[String]): Map[Long, Double] =
+    docs.flatMap { case (d, ts) =>
+      val contribs = q.sorted.flatMap(t => ts.get(t).map(tf =>
+        idf(t) * PostingFormat.partial(tf.toDouble, dls(d).toDouble, params, avgdl)))
+      if (contribs.isEmpty) None else Some(d -> contribs.sum)
+    }
+
+  def slackCandidates(lists: Map[String, graft.index.PostingList],
+      idf: Map[String, Double], avgdl: Double, q: Seq[String], k: Int,
+      slack: Double): Array[Wand.Hit] = {
+    val cursors = q.sorted.flatMap(lists.get)
+      .map(pl => new PostingCursor(pl, params, avgdl, idf(pl.term)))
+    Wand.candidatesWithSlack(cursors, k, slack)
+  }
+
+  test("candidatesWithSlack returns exactly the θ−slack band (30 random corpora)") {
+    for (trial <- 1 to 30) {
+      val nDocs = 50 + rnd.nextInt(900)
+      val (docs, dls) = randomCorpus(nDocs, 3 + rnd.nextInt(10), 0.05 + rnd.nextDouble() * 0.3)
+      val avgdl = dls.values.sum.toDouble / dls.size
+      val lists = buildLists(docs, dls, avgdl)
+      val idf = lists.map { case (t, pl) => t -> BM25.idf(nDocs.toDouble, pl.df.toDouble) }
+      val q = rnd.shuffle(lists.keys.toList).take(1 + rnd.nextInt(4))
+      val all = bruteScores(docs, dls, idf, avgdl, q)
+      if (all.nonEmpty) {
+        for (k <- Seq(1, 5, 20); slackScale <- Seq(0.0, 0.1, 0.7)) {
+          val sortedScores = all.values.toSeq.sorted(Ordering[Double].reverse)
+          val theta = if (all.size < k) Double.NegativeInfinity else sortedScores(k - 1)
+          val slack = slackScale * math.max(sortedScores.head, 1e-9)
+          val want = all.filter { case (_, s) => s >= theta - slack }
+          val got = slackCandidates(lists, idf, avgdl, q, k, slack)
+          assert(got.map(_.docId).toSet == want.keySet,
+            s"trial=$trial k=$k sl=$slackScale: got ${got.length} want ${want.size}")
+          got.foreach(h => assert(math.abs(h.score - want(h.docId)) < 1e-12))
+        }
+      }
+    }
+  }
+
+  test("blended top-k over slack candidates ≡ blended top-k over exhaustive scores") {
+    // the end-to-end property LambdaIndex.blendedTopK relies on: blend =
+    // α·bm25/ubNorm + (1−α)·prox with prox ∈ [0,1] arbitrary per doc
+    for (trial <- 1 to 30) {
+      val nDocs = 100 + rnd.nextInt(600)
+      val (docs, dls) = randomCorpus(nDocs, 4 + rnd.nextInt(8), 0.1 + rnd.nextDouble() * 0.3)
+      val avgdl = dls.values.sum.toDouble / dls.size
+      val lists = buildLists(docs, dls, avgdl)
+      val idf = lists.map { case (t, pl) => t -> BM25.idf(nDocs.toDouble, pl.df.toDouble) }
+      val q = rnd.shuffle(lists.keys.toList).take(1 + rnd.nextInt(3))
+      val all = bruteScores(docs, dls, idf, avgdl, q)
+      if (all.nonEmpty) {
+        val alpha = 0.2 + rnd.nextDouble() * 0.8
+        val k = 1 + rnd.nextInt(15)
+        val ubNorm = q.sorted.flatMap(idf.get).map(_ * (params.k1 + 1.0)).sum.max(1e-12)
+        val prox = all.keys.map(d => d -> rnd.nextDouble()).toMap // stands in for λ-proximity
+        def blend(d: Long, bm25: Double) = alpha * bm25 / ubNorm + (1 - alpha) * prox(d)
+        def topK(scored: Iterable[(Long, Double)]) =
+          scored.toSeq.map { case (d, s) => (d, blend(d, s)) }
+            .sortBy { case (d, s) => (-s, d) }.take(k).map(_._1)
+        val exhaustive = topK(all)
+        val slack = (1 - alpha) / alpha * ubNorm
+        val viaWand = topK(slackCandidates(lists, idf, avgdl, q, k, slack)
+          .map(h => (h.docId, h.score)))
+        assert(viaWand == exhaustive, s"trial=$trial α=$alpha k=$k")
+      }
+    }
+  }
+
+  test("slack candidates decode fewer blocks than exhaustive on a hot term") {
+    import graft.index.PostingStats
+    // hot term in EVERY doc; high-tf docs concentrated early → later
+    // blocks' max can't beat θ−slack and must be skipped without decode
+    val nDocs = 20000
+    val ids = (0L until nDocs.toLong).toArray
+    val tfs = ids.map(d => if (d < 100) 5L else 1L)
+    val dls = ids.map(_ => 10L)
+    val pl = PostingFormat.encode("hot", 0, ids, tfs, dls, params, 10.0)
+    val idf = Map("hot" -> BM25.idf(nDocs.toDouble, nDocs.toDouble))
+    val alpha = 0.9
+    val ubNorm = idf("hot") * (params.k1 + 1.0)
+    val slack = (1 - alpha) / alpha * ubNorm
+    PostingStats.reset()
+    PostingFormat.decodeAll(pl)
+    val exhaustiveBlocks = PostingStats.decoded()
+    assert(exhaustiveBlocks == pl.blockLen.length.toLong)
+    PostingStats.reset()
+    val cand = Wand.candidatesWithSlack(
+      Seq(new PostingCursor(pl, params, 10.0, idf("hot"))), 10, slack)
+    val prunedBlocks = PostingStats.decoded()
+    assert(cand.nonEmpty)
+    assert(prunedBlocks < exhaustiveBlocks / 10,
+      s"pruning did not engage: $prunedBlocks vs $exhaustiveBlocks blocks")
+  }
+
   test("WAND handles terms absent from corpus and k > matches") {
     val (docs, dls) = randomCorpus(20, 3, 0.5)
     val avgdl = dls.values.sum.toDouble / dls.size

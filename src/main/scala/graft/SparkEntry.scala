@@ -244,7 +244,50 @@ object SparkEntry {
     // full near-dedup pipeline: LSH candidates -> Jaccard verify -> keep set
     "near_dedup_keep" -> ((s, dir) =>
       graft.ops.Dedup.nearDedupKeep(table(s, dir, "documents"), "text", "doc_id",
-        n = 3, numHashes = 16, rowsPerBand = 4, minJ = 0.5))
+        n = 3, numHashes = 16, rowsPerBand = 4, minJ = 0.5)),
+
+    // α=1 λ-aware search ranks identically to pure cosine (rank-identity
+    // oracle — positive α scaling plus a vanished λ term preserve order)
+    "lambda_search_alpha1" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val items = embeddingItems(s, dir)
+      val built = graft.lambda.DenseLambda.build(s, items,
+        graft.lambda.DenseLambda.Config(maxClusters = 16))
+      val q = items.filter(_._1 == 0L).head()._2
+      val lq = graft.lambda.DenseLambda.queryLambda(q, built)
+      graft.lambda.DenseLambda.searchLambdaAware(items, built, q, lq, 10, alpha = 1.0)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+        .select(col("rank"), col("id").as("vec_id"))
+    }),
+    // α=1 hybrid search: the union candidates (λ-top-k ∪ semantic-top-1 ∪
+    // cos>0.9999) re-ranked by score=cos must equal the cosine top-k
+    "hybrid_alpha1" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val items = embeddingItems(s, dir)
+      val built = graft.lambda.DenseLambda.build(s, items,
+        graft.lambda.DenseLambda.Config(maxClusters = 16))
+      val q = items.filter(_._1 == 0L).head()._2
+      val lq = graft.lambda.DenseLambda.queryLambda(q, built)
+      graft.lambda.DenseLambda.searchHybrid(items, built, q, lq, 10, alpha = 1.0)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+        .select(col("rank"), col("id").as("vec_id"))
+    }),
+    // energy search with wλ=0 and no spectral signals ranks by
+    // boundedL2(q−x), monotone in plain L2 → SQL-expressible rank oracle
+    "energy_search_dirichlet" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val items = embeddingItems(s, dir)
+      val built = graft.lambda.EnergyMaps.build(s, items,
+        graft.lambda.EnergyMaps.Config(maxClusters = 12))
+      val q = items.filter(_._1 == 0L).head()._2
+      graft.lambda.EnergyMaps.searchEnergy(items, built, q, 10,
+          wLambda = 0.0, wDirichlet = 0.5, signals = None)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+        .select(col("rank"), col("id").as("vec_id"))
+    })
   )
 
   def embeddingItems(s: SparkSession, dir: String) = {
@@ -484,8 +527,41 @@ object SparkEntry {
         |FROM flagged GROUP BY user_id""".stripMargin,
     // embeddings are fixed 64-dim across all sf dirs
     "ann_ivf_exact" -> cosineTopKOracleSql,
-    "cosine_topk" -> cosineTopKOracleSql
+    "cosine_topk" -> cosineTopKOracleSql,
+    // rank-identity oracles: both α=1 searches must reproduce the pure
+    // cosine ranking; energy search at wλ=0 ranks by L2 ascending
+    "lambda_search_alpha1" -> cosineRankOracleSql,
+    "hybrid_alpha1" -> cosineRankOracleSql,
+    "energy_search_dirichlet" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |idx AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+        |d AS (
+        |  SELECT e.vec_id,
+        |    sum((CAST(e.embedding[idx.i] AS DOUBLE) - CAST(q.qe[idx.i] AS DOUBLE))
+        |      * (CAST(e.embedding[idx.i] AS DOUBLE) - CAST(q.qe[idx.i] AS DOUBLE))) AS sq
+        |  FROM embeddings e CROSS JOIN q CROSS JOIN idx
+        |  GROUP BY e.vec_id)
+        |SELECT CAST(row_number() OVER (ORDER BY sq ASC, vec_id ASC) AS INT) AS rank, vec_id
+        |FROM d ORDER BY rank LIMIT 10""".stripMargin
   )
+
+  /** Rank-emitting variant of the cosine oracle (α=1 rank-identity
+    * gates: scores are rescaled/blended, ranks must match exactly).
+    */
+  def cosineRankOracleSql: String =
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |idx AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+        |pairs AS (
+        |  SELECT e.vec_id,
+        |    sum(CAST(e.embedding[idx.i] AS DOUBLE) * CAST(q.qe[idx.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(e.embedding[idx.i] AS DOUBLE) * CAST(e.embedding[idx.i] AS DOUBLE)) AS na,
+        |    sum(CAST(q.qe[idx.i] AS DOUBLE) * CAST(q.qe[idx.i] AS DOUBLE)) AS nb
+        |  FROM embeddings e CROSS JOIN q CROSS JOIN idx
+        |  GROUP BY e.vec_id)
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY pairs.dot / (sqrt(pairs.na) * sqrt(pairs.nb)) DESC, vec_id ASC) AS INT) AS rank,
+        |  vec_id
+        |FROM pairs ORDER BY rank LIMIT 10""".stripMargin
 
   /** DuckDB brute-force cosine top-10 oracle (shared by cosine_topk and
     * the exact-IVF equivalence query).

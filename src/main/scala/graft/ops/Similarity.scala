@@ -82,8 +82,29 @@ object Similarity {
     items.map { case (id, v) => (id, signBits(v, bPlanes.value)) }.toDF("id", "bucket")
   }
 
+  /** Every bit-string within Hamming distance ≤ r of `s` — the
+    * multi-probe enumeration (Σ_{d≤r} C(|s|,d) strings; 79 for |s|=12,
+    * r=2). Exponential in r: callers keep r small and |s| moderate,
+    * which is exactly the multi-probe LSH regime.
+    */
+  def hammingBall(s: String, r: Int): Seq[String] =
+    (0 to math.min(r, s.length)).flatMap { d =>
+      (0 until s.length).combinations(d).map { idxs =>
+        val a = s.toCharArray
+        idxs.foreach(i => a(i) = if (a(i) == '0') '1' else '0')
+        new String(a)
+      }
+    }
+
   /** LSH query: exact cosine only over items whose bucket is within
     * `maxHamming` of the query's bucket (multi-probe by Hamming ball).
+    *
+    * The ball is ENUMERATED and probed with bucket equality (`isin`),
+    * never with a per-row Hamming computation over the whole bucket
+    * table: against a persisted bucket table the In-list reaches the
+    * scan as a pushed filter (min/max + dictionary row-group pruning),
+    * and at cluster scale the same list is a broadcastable key set —
+    * the probe cost follows the ball size, not the corpus size.
     */
   def lshTopK(items: Dataset[(Long, Array[Double])], buckets: DataFrame,
       q: Array[Double], k: Int, nPlanes: Int, seed: Long = 42L,
@@ -94,7 +115,7 @@ object Similarity {
     val planes = hyperplanes(nPlanes, dim, seed)
     val qb = signBits(q, planes)
     val bq = spark.sparkContext.broadcast(q)
-    val cand = buckets.filter(Dedup.hammingBits(col("bucket"), lit(qb)) <= maxHamming)
+    val cand = buckets.filter(col("bucket").isin(hammingBall(qb, maxHamming): _*))
     items.toDF("id", "vec").join(cand, "id")
       .as[(Long, Array[Double], String)]
       .map { case (id, v, _) => (id, GraphBuilder.cosine(bq.value, v)) }

@@ -152,6 +152,42 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.recallAtK(r, exact) >= 0.2)
   }
 
+  test("hammingBall enumerates exactly the distance-≤r strings") {
+    val ball = Similarity.hammingBall("0000", 2)
+    assert(ball.length == 1 + 4 + 6)
+    assert(ball.distinct.length == ball.length)
+    assert(ball.forall(b => b.zip("0000").count { case (x, y) => x != y } <= 2))
+    assert(Similarity.hammingBall("01", 0) == Seq("01"))
+  }
+
+  test("LSH probe: recall@10 ≥ 0.9 on high-similarity clusters, pushed In(bucket) scan") {
+    // planted clusters: 40 seeds, 25 jittered copies each (cosine ≈ 0.99
+    // within a cluster — the near-dup regime LSH is built for); query =
+    // member 0 of cluster 0
+    val rnd = new scala.util.Random(11)
+    val seeds = Array.fill(40)(Array.fill(32)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until 40; m <- 0 until 25) yield {
+      val v = seeds(c).map(_ + rnd.nextGaussian() * 0.05)
+      (c * 25L + m, v)
+    }
+    val clustered = rows.toDF("id", "vec").as[(Long, Array[Double])].cache()
+    val q = rows.head._2
+    val exactTop = graft.lambda.DenseLambda.cosineTopK(clustered, q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    // persist buckets so the In-list provably reaches the parquet scan
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    Similarity.lshBuckets(clustered, nPlanes = 12).write.mode("overwrite").parquet(tmp)
+    val bucketsOnDisk = spark.read.parquet(tmp)
+    val top = Similarity.lshTopK(clustered, bucketsOnDisk, q, 10, nPlanes = 12, maxHamming = 2)
+    val got = top.collect().map(_.getLong(0)).toSeq
+    assert(Similarity.recallAtK(got, exactTop) >= 0.9, s"recall: $got vs $exactTop")
+    // the probe is bucket-equality pushed into the scan, not a per-row
+    // Hamming filter over the whole table
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(bucket"),
+      s"expected pushed In(bucket,...) filter in:\n$plan")
+  }
+
   // ---- multimodal plumbing --------------------------------------------
 
   test("multimodal: synthesize -> decode -> resize/frames, schema and determinism") {

@@ -36,8 +36,11 @@ object LambdaPipeline {
       tau: TauMode = TauMode.Mean,
       graph: GraphBuilder.GraphParams =
         GraphBuilder.GraphParams(eps = 1.0, topk = 6, sigma = None)) {
+    // v4: reference-faithful CH sweep (3 trials/k + penalty + fine-tune
+    // + 5·ID bound) can choose a different X → stale staged λs must not
+    // resume
     def fingerprint: String =
-      s"v3;V=$vocabSize;h=$hashDim;X=$maxClusters;s=$sampleSize;seed=$seed;tau=$tau;${graph.fingerprint}"
+      s"v4;V=$vocabSize;h=$hashDim;X=$maxClusters;s=$sampleSize;seed=$seed;tau=$tau;${graph.fingerprint}"
   }
 
   /** Deterministic signed feature hashing of a term node into hashDim. */

@@ -130,33 +130,85 @@ object SeededKMeans {
     (bgss / (k - 1)) / (wgss / (n - k))
   }
 
-  /** K bounds heuristic (clustering.rs:75-98): k_min = max(2, ⌈√(n/10)⌉),
-    * k_max = min(dims, n/10, √n) (intrinsic-dimension refinement elided),
-    * both clamped sane.
+  /** K bounds heuristic (step1_bounds, clustering.rs:75-98):
+    * k_min = max(2, ⌈√(n/10)⌉);
+    * k_max = min(dims, n/10, 5·intrinsicDim, ⌊√n⌋), then raised to at
+    * least k_min+1 and capped at n/2 — the reference's exact candidate
+    * order, INCLUDING the 5·ID bound (restored; it was elided in
+    * round 1).
     */
-  def kBounds(n: Int, dims: Int): (Int, Int) = {
+  def kBounds(n: Int, dims: Int, idEst: Int): (Int, Int) = {
     val kMin = math.max(2, math.ceil(math.sqrt(n / 10.0)).toInt)
-    val kMax = math.max(kMin,
-      math.min(dims, math.min(n / 10, math.ceil(math.sqrt(n.toDouble)).toInt)))
+    val kMax = Seq(dims, n / 10, 5 * idEst, math.sqrt(n.toDouble).toInt)
+      .min.max(kMin + 1).min(n / 2)
     (kMin, kMax)
   }
 
-  /** CH sweep over candidate k (clustering.rs:167-310, single trial per
-    * k), ties prefer larger k.
+  /** Integer Two-NN intrinsic-dimension estimate clamped to [1, dims]
+    * (the reference's id_clamped, clustering.rs:155-157; n<10 → min(f,2),
+    * clustering.rs:110-112).
     */
-  def optimalK(points: Array[Array[Double]], seed: Long, maxK: Int): Int = {
-    val (kMin, kMax0) = kBounds(points.length, points(0).length)
-    val kMax = math.min(kMax0, maxK)
-    if (kMax <= kMin) return math.max(2, math.min(kMin, points.length))
-    val candidates = (kMin to kMax by math.max(1, (kMax - kMin) / 6)).distinct
+  def intrinsicDimensionInt(points: Array[Array[Double]]): Int = {
+    val f = points(0).length
+    if (points.length < 10) return math.min(f, 2)
+    val id = estimateIntrinsicDimension(points)
+    math.max(1, math.min(f, math.round(id).toInt))
+  }
+
+  /** Penalized Calinski-Harabasz sweep (step2_calinski_harabasz,
+    * clustering.rs:167-310), reference-faithful:
+    *  - step by range width: ≤5 → 1, ≤15 → 2, else 3;
+    *  - per k: best CH over 3 seeded trials (seed = base + k·1000 +
+    *    trial), penalized by 0.8·k·ln(n);
+    *  - tie-break prefers LARGER k;
+    *  - when step > 1, fine-tune around the winner over
+    *    {k−step+1, k−1, k, k+1, k+step−1} \ tested (trial seeds
+    *    base + k·10000 + trial), replacing only on strictly-better score.
+    */
+  def step2CalinskiHarabasz(points: Array[Array[Double]], kMin: Int, kMax: Int,
+      seed: Long): Int = {
+    val n = points.length
+    if (n < 10) return kMin
+    val kRange = kMax - kMin
+    val kStep = if (kRange <= 5) 1 else if (kRange <= 15) 2 else 3
+    val candidates = (kMin to kMax by kStep).filter(k => k < n && k >= 2)
+    def penalized(k: Int, seedBase: Long): Double = {
+      val bestCh = (0 until 3).map { trial =>
+        val m = fitLocal(points, k, seedBase + trial)
+        calinskiHarabasz(points, m)
+      }.max
+      bestCh - 0.8 * k * math.log(n.toDouble)
+    }
     var bestK = kMin
     var bestScore = Double.NegativeInfinity
     for (k <- candidates) {
-      val m = fitLocal(points, k, seed + k * 1000L)
-      val s = calinskiHarabasz(points, m)
-      if (s >= bestScore) { bestScore = s; bestK = k } // >= ⇒ larger k wins ties
+      val s = penalized(k, seed + k.toLong * 1000L)
+      if (s > bestScore || (s == bestScore && k > bestK)) { bestScore = s; bestK = k }
     }
-    bestK
+    if (kStep > 1) {
+      val fine = Seq(bestK - (kStep - 1), bestK - 1, bestK, math.min(bestK + 1, kMax),
+          math.min(bestK + kStep - 1, kMax))
+        .filter(k => k >= kMin && k <= kMax && k < n && !candidates.contains(k))
+        .distinct
+      for (k <- fine) {
+        val s = penalized(k, seed + k.toLong * 10000L)
+        if (s > bestScore) { bestScore = s; bestK = k }
+      }
+    }
+    math.min(bestK, kMax)
+  }
+
+  /** Optimal-k selection (compute_optimal_k, clustering.rs:36-72):
+    * step1 bounds (with the 5·ID cap) → penalized CH sweep; the caller's
+    * maxK (pipeline config) is an additional cap on the candidate range.
+    */
+  def optimalK(points: Array[Array[Double]], seed: Long, maxK: Int): Int = {
+    val idEst = intrinsicDimensionInt(points)
+    val (kMin0, kMax0) = kBounds(points.length, points(0).length, idEst)
+    val kMax = math.max(2, math.min(math.min(kMax0, maxK), points.length))
+    val kMin = math.min(kMin0, kMax)
+    if (kMax <= kMin) return kMin
+    step2CalinskiHarabasz(points, kMin, kMax, seed)
   }
 
   /** The reference's single-pass incremental clustering in its

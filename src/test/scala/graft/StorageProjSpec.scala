@@ -56,6 +56,36 @@ class StorageProjSpec extends AnyFunSuite {
     assert(s.contains("\"name\": \"idx\"") && s.contains("\\n"))
   }
 
+  test("penalized CH sweep finds the blob count (reference blob fixture band)") {
+    // the reference's three-cluster fixture shape
+    // (src/tests/test_clustering.rs:242-278): 3 well-separated 2-D blobs
+    // of 50 points, sweep [2,10] — accepted band 2..5, expected 3
+    val rnd2 = new Random(789)
+    def blob(cx: Double, cy: Double) =
+      Array.fill(50)(Array(cx + rnd2.nextDouble() - 0.5, cy + rnd2.nextDouble() - 0.5))
+    val rows = blob(0, 0) ++ blob(5, 5) ++ blob(10, 10)
+    val k = SeededKMeans.step2CalinskiHarabasz(rows, 2, 10, 42L)
+    assert(k >= 2 && k <= 5, s"expected k near 3, got $k")
+    // determinism: same inputs + seed → same choice
+    assert(SeededKMeans.step2CalinskiHarabasz(rows, 2, 10, 42L) == k)
+  }
+
+  test("k_max honors the 5·intrinsic-dimension bound (step1_bounds)") {
+    // 2000 points on a noisy 1-D line embedded in 10-D: ID ≈ 1 →
+    // k_max = min(10, 200, 5·1, 44) = 5, raised to ≥ k_min+1
+    val rnd2 = new Random(3)
+    val line = Array.fill(300)({
+      val t = rnd2.nextDouble() * 100
+      Array.tabulate(10)(j => if (j == 0) t else rnd2.nextGaussian() * 0.01)
+    })
+    val idEst = SeededKMeans.intrinsicDimensionInt(line)
+    assert(idEst <= 2, s"line ID should be ~1, got $idEst")
+    val (kMin, kMax) = SeededKMeans.kBounds(line.length, 10, idEst)
+    assert(kMax == math.max(kMin + 1, 5 * idEst).min(10).min(150) ||
+      kMax <= 5 * idEst + kMin + 1) // 5·ID is the binding cap here
+    assert(kMax <= math.max(kMin + 1, 5 * idEst))
+  }
+
   test("JL projection: deterministic, linear, dimension formula") {
     val proj = ImplicitProjection(50, 8, seed = 99L)
     val x = Array.fill(50)(rnd.nextDouble() * 2 - 1)

@@ -304,6 +304,21 @@ object SparkEntry {
       graft.lambda.LambdaPipeline.Config(vocabSize = 256, maxClusters = 16, seed = 42L))
   }
 
+  /** Content fingerprint of a testdata documents table: row count + sum
+    * of crc32(text) + sum of ids. Folding content into the staged-index
+    * key means regenerated data at the SAME path invalidates the /tmp
+    * artifacts instead of silently resuming an index over the old corpus
+    * (one cheap scan, memoized per session).
+    */
+  private val contentFpCache = new scala.collection.concurrent.TrieMap[String, String]()
+  private def documentsFp(s: SparkSession, dir: String): String =
+    contentFpCache.getOrElseUpdate(dir, {
+      val r = table(s, dir, "documents")
+        .agg(count(lit(1)).as("n"), sum(crc32(col("text"))).as("crc"),
+          sum(col("doc_id")).as("ids")).collect()(0)
+      s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}"
+    })
+
   /** Inverted index over the documents table (built once per sf dir into
     * /tmp and resumed on later calls via stage lineage).
     */
@@ -316,7 +331,7 @@ object SparkEntry {
       .as[graft.index.DocIds.Doc]
     val sfName = new java.io.File(dir).getName
     graft.index.IndexBuilder.buildFromDocs(s, docs, s"/tmp/graft_docidx_$sfName",
-      corpusFp = s"documents:$dir",
+      corpusFp = s"documents:$dir:${documentsFp(s, dir)}",
       graft.index.IndexBuilder.Params(docsPerShard = 64L, numParts = 8, tokenizer = "simple"))
   }
 

@@ -43,17 +43,38 @@ final class LocalSearcher(
 
 object LocalSearcher {
 
-  /** Collect an index into serving memory (one Spark job) and pre-decode
-    * every list — construction pays the decode cost once; queries never
-    * touch compressed bytes again.
+  /** Collect an index — or just the doc-shard slice [shardLo, shardHi]
+    * a serving replica owns — into memory (one Spark job) and pre-decode
+    * every list; queries never touch compressed bytes again.
+    *
+    * The shard predicate pushes to the postings parquet scan (shard is a
+    * sorted column → row-group pruning), so a replica reads ONLY its
+    * slice from storage. idf statistics (termstats, nDocs, avgdl) stay
+    * GLOBAL regardless of the slice, so replica scores are identical to
+    * the full searcher's and a fan-out tier can merge replica top-ks by
+    * (score DESC, docId ASC) exactly.
     */
-  def fromIndex(index: InvertedIndex): LocalSearcher = {
+  def fromIndex(index: InvertedIndex, shardLo: Int = 0,
+      shardHi: Int = Int.MaxValue): LocalSearcher = {
+    import org.apache.spark.sql.functions.col
     val p = index.bm25
     val ad = index.avgdl
-    val lists = index.postings.collect().map(pl => graft.index.DecodedList.from(pl, p, ad))
+    val lists = index.postings
+      .filter(col("shard") >= shardLo && col("shard") <= shardHi)
+      .collect().map(pl => graft.index.DecodedList.from(pl, p, ad))
     val byTerm = lists.groupBy(_.term).map { case (t, ls) => t -> ls.sortBy(_.shard) }
     val df = index.termStats.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     new LocalSearcher(byTerm, df, index.nDocs, index.avgdl, index.bm25)
+  }
+
+  /** Merge per-replica top-ks (each already (score DESC, docId ASC)
+    * sorted) into the global top-k — the serving fan-out's reduce step.
+    */
+  def mergeTopK(parts: Seq[Array[Wand.Hit]], k: Int): Array[Wand.Hit] = {
+    val all = parts.flatten.toArray
+    scala.util.Sorting.stableSort(all,
+      (a: Wand.Hit, b: Wand.Hit) => a.score > b.score || (a.score == b.score && a.docId < b.docId))
+    all.take(k)
   }
 }

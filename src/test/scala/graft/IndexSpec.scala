@@ -89,6 +89,26 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("shard-range replicas: merged half-range top-ks ≡ full searcher") {
+    // 600 docs / 128 per shard → shards 0..4; split replicas [0,2] | [3,max]
+    val full = graft.search.LocalSearcher.fromIndex(index)
+    val lo = graft.search.LocalSearcher.fromIndex(index, shardLo = 0, shardHi = 2)
+    val hi = graft.search.LocalSearcher.fromIndex(index, shardLo = 3)
+    // each replica holds ONLY its slice
+    assert(lo.byTerm.values.flatten.forall(_.shard <= 2))
+    assert(hi.byTerm.values.flatten.forall(_.shard >= 3))
+    assert(lo.byTerm.values.flatten.nonEmpty && hi.byTerm.values.flatten.nonEmpty)
+    for (q <- Seq(Seq("get"), Seq("data", "index", "merge"),
+        Seq(CodeCorpus.needleToken(42L, 17L)).flatMap(t =>
+          graft.tokenize.CodeTokenizer.codeTokens(t).toSeq))) {
+      val merged = graft.search.LocalSearcher
+        .mergeTopK(Seq(lo.topK(q, 10), hi.topK(q, 10)), 10)
+        .map(h => (h.docId, h.score)).toSeq
+      val whole = full.topK(q, 10).map(h => (h.docId, h.score)).toSeq
+      assert(merged == whole, s"q=$q: $merged vs $whole")
+    }
+  }
+
   test("docIds are dense and unique 0..N-1") {
     // validates the pmod(hash(keys), P) == HashPartitioning partition-id
     // identity that the no-shuffle counting pass relies on

@@ -67,13 +67,21 @@ object Dedup {
   /** MinHash signature rows (doc_id, h, minhash): H portable hash
     * functions h_i(s) = md5(i || ':' || s), minimized as strings —
     * identical in any engine with md5, no platform hash dependence.
+    *
+    * All H minima come from ONE aggregate over the shingle table (H min
+    * columns, re-exploded after): map-side partial aggregation collapses
+    * each task's shingles to a single H-wide signature before the
+    * shuffle. The former crossJoin(range(H)) expanded the shingle table
+    * H× through a BroadcastNestedLoopJoin ahead of the aggregation —
+    * at 100 TB that is H× the scan materialization for the same result.
     */
   def minhashRows(docs: DataFrame, textCol: String, idCol: String, n: Int,
       numHashes: Int): DataFrame = {
     val ds = docShingles(docs, textCol, idCol, n)
-    ds.crossJoin(spark(ds).range(0, numHashes).toDF("h"))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(md5(concat(col("h").cast("string"), lit(":"), col("shingle")))).as("minhash"))
+    ds.groupBy(col("doc_id"))
+      .agg(array((0 until numHashes).map(h =>
+        min(md5(concat(lit(h.toString), lit(":"), col("shingle"))))): _*).as("mh"))
+      .select(col("doc_id"), posexplode(col("mh")).as(Seq("h", "minhash")))
   }
 
   /** LSH band buckets: bucket = md5(concatenated minhashes of the band).

@@ -152,6 +152,17 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.recallAtK(r, exact) >= 0.2)
   }
 
+  test("minhash is one aggregate — no crossJoin/cartesian row expansion") {
+    val mh = Dedup.minhashRows(docs, "text", "doc_id", 3, 16)
+    val plan = mh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"unexpected join in minhash plan:\n$plan")
+    // signature shape: H rows per doc with ≥1 shingle, h = 0..H-1
+    val byDoc = mh.collect().groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length == 16))
+    assert(byDoc.values.forall(_.map(_.getInt(1)).sorted.toSeq == (0 until 16)))
+  }
+
   test("hammingBall enumerates exactly the distance-≤r strings") {
     val ball = Similarity.hammingBall("0000", 2)
     assert(ball.length == 1 + 4 + 6)

@@ -80,12 +80,19 @@ object TextStats {
       size(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)).as("word_tokens"),
       length(regexp_replace(col(textCol), "\\s", "")).as("non_space_chars"))
 
-  /** Rolling polynomial fingerprint over tokens (Rabin-Karp, base 257
-    * mod 2^61−1) + winnowed k-gram minima — the doc-fingerprint operator
-    * (not SQL-expressible; rows-only oracle).
+  /** Winnowed document fingerprints (true winnowing per
+    * Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting"): Rabin–Karp hashes (base 257 mod 2⁶¹−1)
+    * of `k`-token grams; over every window of `w` consecutive gram
+    * hashes select the minimum, rightmost on ties (robust winnowing);
+    * emit the DISTINCT selected hashes, sorted.
+    *
+    * Guarantee (the property the spec asserts): two documents sharing a
+    * token run of length ≥ w + k − 1 share at least one fingerprint.
+    * Not SQL-expressible — rows-only gate.
     */
   def fingerprint(docs: DataFrame, textCol: String, idCol: String,
-      window: Int = 4): DataFrame = {
+      k: Int = 4, w: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val MOD = (1L << 61) - 1
@@ -98,12 +105,29 @@ object TextStats {
         h
       }
       val hs = toks.map(hashTok)
-      // rolling window hashes
       val grams =
-        if (hs.length < window) Array(hs.foldLeft(0L)((a, x) => (a * B + x) % MOD))
-        else hs.sliding(window).map(_.foldLeft(0L)((a, x) => (a * B + x) % MOD)).toArray
-      val fp = if (grams.isEmpty) 0L else grams.min // winnowing: global min-gram
-      (id, fp, grams.length)
-    }.toDF("doc_id", "fingerprint", "n_grams")
+        if (hs.isEmpty) Array.empty[Long]
+        else if (hs.length < k) Array(hs.foldLeft(0L)((a, x) => (a * B + x) % MOD))
+        else hs.sliding(k).map(_.foldLeft(0L)((a, x) => (a * B + x) % MOD)).toArray
+      val selected =
+        if (grams.isEmpty) Array.empty[Long]
+        else if (grams.length <= w) Array(grams.min) // whole doc is one window
+        else {
+          val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var start = 0
+          while (start + w <= grams.length) {
+            var minIdx = start
+            var i = start + 1
+            while (i < start + w) {
+              if (grams(i) <= grams(minIdx)) minIdx = i // rightmost min (robust)
+              i += 1
+            }
+            out += grams(minIdx)
+            start += 1
+          }
+          out.toArray.sorted
+        }
+      (id, selected, grams.length)
+    }.toDF("doc_id", "fingerprints", "n_grams")
   }
 }

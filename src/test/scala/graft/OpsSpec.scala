@@ -108,14 +108,31 @@ class OpsSpec extends AnyFunSuite {
     assert(r(1L) > r(9L), "clean English text scores above punctuation soup")
   }
 
-  test("fingerprint: dup docs share fingerprints, deterministic") {
-    val r = TextStats.fingerprint(docs, "text", "doc_id")
-      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
-    assert(r(1L) == r(2L))
+  test("fingerprint: dup docs share fingerprint sets, deterministic") {
+    def run() = TextStats.fingerprint(docs, "text", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getSeq[Long](1))).toMap
+    val r = run()
+    assert(r(1L) == r(2L)) // exact dups → identical sets
     assert(r(1L) != r(5L))
-    val r2 = TextStats.fingerprint(docs, "text", "doc_id")
-      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
-    assert(r == r2)
+    assert(r == run())
+  }
+
+  test("winnowing guarantee: shared run of ≥ w+k−1 tokens ⇒ shared fingerprint") {
+    val k = 4; val w = 4
+    val common = (1 to (w + k - 1)).map(i => s"shared$i").mkString(" ") // exactly w+k−1 tokens
+    val rnd = new scala.util.Random(23)
+    def noise(n: Int, tag: String) = (1 to n).map(_ => s"$tag${rnd.nextInt(1000)}").mkString(" ")
+    val pairs = (0 until 10).map { i =>
+      (2L * i, s"${noise(30, "a")} $common ${noise(25, "b")}",
+        2L * i + 1, s"${noise(40, "c")} $common ${noise(15, "d")}")
+    }
+    val df = pairs.flatMap { case (i1, t1, i2, t2) => Seq((i1, t1), (i2, t2)) }
+      .toDF("doc_id", "text")
+    val fp = TextStats.fingerprint(df, "text", "doc_id", k, w)
+      .collect().map(x => (x.getLong(0), x.getSeq[Long](1).toSet)).toMap
+    pairs.foreach { case (i1, _, i2, _) =>
+      assert(fp(i1).intersect(fp(i2)).nonEmpty, s"no shared fingerprint for pair ($i1,$i2)")
+    }
   }
 
   // ---- ANN over the real embeddings table ------------------------------

@@ -192,7 +192,9 @@ object SparkEntry {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
-    // -- multimodal plumbing (decode stage is a documented stub) ---------
+    // -- multimodal: REAL PNG/WAV/AVI header decode, byte-level oracle —
+    // synthesize embeds id-derived dims into real headers; decode parses
+    // them back from bytes alone; the oracle recomputes the arithmetic
     "mm_decode" -> ((s, dir) =>
       graft.ops.Multimodal.decode(
         graft.ops.Multimodal.synthesize(table(s, dir, "documents"), "doc_id", "text"))),
@@ -543,6 +545,22 @@ object SparkEntry {
     // embeddings are fixed 64-dim across all sf dirs
     "ann_ivf_exact" -> cosineTopKOracleSql,
     "cosine_topk" -> cosineTopKOracleSql,
+    // byte-level multimodal oracle: decode() parses real PNG/WAV/AVI
+    // headers; the oracle recomputes the dims the encoder derived from
+    // doc_id — equality proves the byte round-trip
+    "mm_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CASE doc_id % 3 WHEN 0 THEN 45
+        |       WHEN 1 THEN 44 + (100 + doc_id % 900) * 2 * (1 + doc_id % 2)
+        |       ELSE 88 END AS n_bytes,
+        |  CASE doc_id % 3 WHEN 1 THEN 0 ELSE 16 + doc_id % 1024 END AS width,
+        |  CASE doc_id % 3 WHEN 1 THEN 0 ELSE 16 + (doc_id * 7) % 1024 END AS height,
+        |  CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 2 ELSE 3 END AS channels,
+        |  CASE doc_id % 3 WHEN 0 THEN 1
+        |       WHEN 1 THEN 100 + doc_id % 900
+        |       ELSE 1 + doc_id % 300 END AS n_frames
+        |FROM documents""".stripMargin,
     // rank-identity oracles: both α=1 searches must reproduce the pure
     // cosine ranking; energy search at wλ=0 ranks by L2 ascending
     "lambda_search_alpha1" -> cosineRankOracleSql,

@@ -218,7 +218,7 @@ class OpsSpec extends AnyFunSuite {
 
   // ---- multimodal plumbing --------------------------------------------
 
-  test("multimodal: synthesize -> decode -> resize/frames, schema and determinism") {
+  test("multimodal: real PNG/WAV/AVI headers round-trip through byte-level decode") {
     val media = Multimodal.synthesize(docs, "doc_id", "text")
     assert(media.columns.toSeq == Seq("media_id", "modality", "payload", "meta"))
     val decoded = Multimodal.decode(media)
@@ -226,18 +226,36 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.length == 6)
     assert(decoded.columns.toSeq ==
       Seq("media_id", "modality", "n_bytes", "width", "height", "channels", "n_frames"))
-    // payload bytes == text bytes
-    val byId = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(byId(6L) == "short text".getBytes("UTF-8").length)
-    // deterministic stub
+    // decode derives modality from MAGIC BYTES and must agree with the
+    // synthesized id % 3 assignment, and dims must match the arithmetic
+    // the encoder embedded into the headers
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expMod = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      assert(r.getString(1) == expMod)
+      if (expMod == "image") {
+        assert(r.getLong(2) == 45L)
+        assert(r.getInt(3) == 16 + (id % 1024).toInt && r.getInt(4) == 16 + ((id * 7) % 1024).toInt)
+        assert(r.getInt(5) == 3 && r.getInt(6) == 1)
+      }
+      if (expMod == "audio") {
+        val samples = (100 + id % 900).toInt
+        val ch = (1 + id % 2).toInt
+        assert(r.getInt(5) == ch && r.getInt(6) == samples)
+        assert(r.getLong(2) == 44L + samples * 2 * ch)
+      }
+      if (expMod == "video") {
+        assert(r.getLong(2) == 88L && r.getInt(6) == (1 + id % 300).toInt)
+      }
+    }
+    // determinism
     val again = Multimodal.decode(media).collect().map(_.toSeq).sortBy(_.toString)
     assert(again.toSeq == rows.map(_.toSeq).sortBy(_.toString).toSeq)
-    // audio rows are single-channel; video rows have frames
-    rows.foreach { r =>
-      if (r.getString(1) == "audio") assert(r.getInt(5) == 1)
-      if (r.getString(1) == "video") assert(r.getInt(6) >= 1)
-    }
-    val resized = Multimodal.resizePlan(decoded, 64).collect()
+    // a corrupted CRC must be rejected, not mis-parsed
+    val png = Multimodal.encodePng(100, 50)
+    png(30) = (png(30) ^ 0x7f).toByte
+    assertThrows[IllegalArgumentException](Multimodal.parsePng(png))
+    val resized = Multimodal.resizePlan(decoded.filter(col("modality") =!= "audio"), 64).collect()
     resized.foreach { r =>
       assert(r.getAs[Int]("out_width") <= 65 && r.getAs[Int]("out_height") <= 65)
     }

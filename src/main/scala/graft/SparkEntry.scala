@@ -374,6 +374,12 @@ object SparkEntry {
         "SELECT doc_id, round(scored.score, 4) AS score FROM scored",
         "SELECT CAST(row_number() OVER (ORDER BY scored.score DESC, doc_id ASC) AS INT) AS rank, doc_id FROM scored")
     },
+    // NOTE: the shingle oracles below (near_dedup_keep, shingle_jaccard,
+    // minhash_lsh) enumerate shingle indexes via CROSS JOIN
+    // generate_series(1, 4096) because DuckDB's generate_series cannot
+    // take a lateral bound — any document longer than 4094 tokens would
+    // make the ORACLE silently drop shingles. OpsSpec asserts the
+    // sf0.001/sf0.01 corpora stay far below that bound.
     "near_dedup_keep" ->
       """WITH arrs AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr

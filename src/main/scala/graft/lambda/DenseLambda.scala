@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object DenseLambda {
 
+  /** NOTE graph.eps defaults to 1.0, diverging from the reference's
+    * 1e-3 (builder.rs:70) — deliberate; see SURVEY.md Appendix A row
+    * D10 (1e-3 on rectified cosine keeps only near-identical neighbors
+    * and collapses λ on normalized signatures).
+    */
   case class Config(
       maxClusters: Int = 32,
       sampleSize: Int = 1000,

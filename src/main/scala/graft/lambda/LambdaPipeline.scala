@@ -27,6 +27,10 @@ import graft.util.Hashing
   */
 object LambdaPipeline {
 
+  /** NOTE graph.eps defaults to 1.0, diverging from the reference's
+    * 1e-3 (builder.rs:70) — deliberate; see SURVEY.md Appendix A row
+    * D10.
+    */
   case class Config(
       vocabSize: Int = 2048,
       hashDim: Int = 64,

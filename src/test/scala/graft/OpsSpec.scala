@@ -169,6 +169,17 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.recallAtK(r, exact) >= 0.2)
   }
 
+  test("shingle-oracle bound: corpus token counts stay under generate_series(1,4096)") {
+    // guards SparkEntry's DuckDB shingle oracles, which hardcode the
+    // 4096 index bound (DuckDB generate_series takes no lateral bound)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val maxToks = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .select(size(Dedup.tokenArray(col("text"))).as("n"))
+        .agg(max(col("n"))).collect()(0).getInt(0)
+      assert(maxToks + 2 <= 4096, s"$sf: $maxToks tokens breaks the oracle's 4096 bound")
+    }
+  }
+
   test("minhash is one aggregate — no crossJoin/cartesian row expansion") {
     val mh = Dedup.minhashRows(docs, "text", "doc_id", 3, 16)
     val plan = mh.queryExecution.executedPlan.toString

@@ -243,11 +243,24 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
     // the surviving candidates. α = 0 has no BM25 signal to prune on →
     // the reference's full-scan semantics (core.rs:760-798) via
     // scoreAllMatching.
-    val bm25All =
-      if (alpha <= 0.0) index.scoreAllMatching(qTerms.distinct)
-      else index.wandCandidates(qTerms.distinct, k, (1.0 - alpha) / alpha * ubNorm)
+    val (bm25All, lamSrc) =
+      if (alpha <= 0.0) (index.scoreAllMatching(qTerms.distinct), lambdas)
+      else {
+        val cand = index
+          .wandCandidates(qTerms.distinct, k, (1.0 - alpha) / alpha * ubNorm)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        // survivors are ≈ shards·k plus the slack band — collect them and
+        // push an In(doc_id) filter into the λ scan (row-group pruning)
+        // instead of shuffling the FULL λ table through a join; fall back
+        // to the plain join if a near-0 α ever produces a huge band
+        val lam =
+          if (cand.length <= 8192)
+            lambdas.filter(col("doc_id").isin(cand.map(c => Long.box(c._1)).toSeq: _*))
+          else lambdas
+        (cand.toSeq.toDF("doc_id", "bm25"), lam)
+      }
     val scored = bm25All
-      .join(lambdas, Seq("doc_id"), "left")
+      .join(lamSrc, Seq("doc_id"), "left")
       .na.fill(0.0, Seq("lambda"))
       .withColumn("score",
         lit(alpha) * (col("bm25") / lit(ubNorm)) +

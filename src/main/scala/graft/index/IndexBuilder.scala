@@ -268,28 +268,39 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
     import org.apache.spark.sql.expressions.Window
     val allTerms = queries.flatMap(_._2).distinct
     val idf = idfFor(allTerms)
-    val qList = queries.map { case (qid, ts) => (qid, ts.distinct.filter(idf.contains)) }
+    // Canonicalize and DEDUP term sets before execution: real query
+    // batches repeat (hot queries, retries, fan-in), and per-shard WAND
+    // cost scales with DISTINCT sets, not batch size. Sorting happens
+    // once here, not per (query, shard) task iteration.
+    val qNorm: Seq[(Int, Seq[String])] =
+      queries.map { case (qid, ts) => (qid, ts.distinct.filter(idf.contains).sorted) }
+    val setOf: Map[Seq[String], Int] = qNorm.map(_._2).distinct.zipWithIndex.toMap
+    val setList: Seq[(Int, Seq[String])] = setOf.toSeq.map(_.swap).sortBy(_._1)
     val p = bm25
     val ad = avgdl
     val hits = postings
       .filter($"term".isin(allTerms: _*))
       .groupByKey(_.shard)
       .flatMapGroups { (_, it) =>
-        // decode each (term, shard) list ONCE; queries share the decoded
+        // decode each (term, shard) list ONCE; all sets share the decoded
         // arrays via O(1) cursors — decode bandwidth no longer scales
         // with batch size
         val byTerm: Map[String, DecodedList] =
           it.map(pl => pl.term -> DecodedList.from(pl, p, ad)).toMap
-        qList.iterator.flatMap { case (qid, ts) =>
-          val cursors = ts.sorted.flatMap(byTerm.get).map(dl => new DecodedCursor(dl, idf(dl.term)))
+        setList.iterator.flatMap { case (sid, ts) =>
+          val cursors = ts.flatMap(byTerm.get).map(dl => new DecodedCursor(dl, idf(dl.term)))
           if (cursors.isEmpty) Iterator.empty
-          else Wand.topK(cursors, k).iterator.map(h => (qid, h.docId, h.score))
+          else Wand.topK(cursors, k).iterator.map(h => (sid, h.docId, h.score))
         }
       }
-      .toDF("qid", "doc_id", "score")
-    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id".asc)
-    hits.withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .toDF("set_id", "doc_id", "score")
+    val w = Window.partitionBy($"set_id").orderBy($"score".desc, $"doc_id".asc)
+    val setTop = hits
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
       .filter($"rank" <= k)
+    // fan the per-set top-k back out to every qid that asked for it
+    val qMap = qNorm.map { case (qid, ts) => (qid, setOf(ts)) }.toDF("qid", "set_id")
+    setTop.join(broadcast(qMap), "set_id")
       .select($"qid", $"doc_id", $"score", $"rank")
   }
 

@@ -52,141 +52,83 @@ object Wand {
     if (c != 0) -c else java.lang.Long.compare(a.docId, b.docId)
   }
 
-  def topK(cursors0: Seq[Cursor], k: Int): Array[Hit] = {
-    val heap = new scala.collection.mutable.PriorityQueue[Hit]()(worstFirst)
-    cursors0.zipWithIndex.foreach { case (c, i) => c.ord = i }
-    val nOrd = cursors0.size
-    var cursors = cursors0.filterNot(_.exhausted).toArray
-
-    def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head.score
-
-    def offer(h: Hit): Unit = {
-      if (heap.size < k) heap.enqueue(h)
-      else {
-        val w = heap.head
-        if (h.score > w.score || (h.score == w.score && h.docId < w.docId)) {
-          heap.dequeue(); heap.enqueue(h)
-        }
-      }
-    }
-
-    while (cursors.nonEmpty) {
-      java.util.Arrays.sort(cursors, Ordering.by((c: Cursor) => c.docId))
-      // pivot: smallest prefix whose Σ maxScore can beat θ
-      var acc = 0.0
-      var p = 0
-      var found = -1
-      while (p < cursors.length && found < 0) {
-        acc += cursors(p).maxScore
-        if (heap.size < k || acc > theta) found = p
-        p += 1
-      }
-      if (found < 0) return drain(heap) // no doc can beat θ anymore
-      val pivotDoc = cursors(found).docId
-      // extend the prefix over every cursor already at pivotDoc, so the
-      // block-max sum below upper-bounds pivotDoc's true score
-      while (found + 1 < cursors.length && cursors(found + 1).docId == pivotDoc) found += 1
-
-      if (cursors(0).docId == pivotDoc) {
-        // block-max refinement: Σ per-block UBs at pivotDoc
-        var bmSum = 0.0
-        var i = 0
-        while (i <= found) { cursors(i).advanceTo(pivotDoc); if (!cursors(i).exhausted && cursors(i).docId <= cursors(i).blockLastDocId) bmSum += cursors(i).blockMaxScore; i += 1 }
-        // after advanceTo(pivotDoc), cursor is at >= pivotDoc; only lists
-        // actually containing pivotDoc contribute
-        if (heap.size == k && bmSum <= theta) {
-          // shallow advance: skip to just past the nearest block boundary
-          // among the pivot prefix — but never past the first non-prefix
-          // cursor's docId, whose lists could still score the skipped docs
-          var boundary = Long.MaxValue
-          i = 0
-          while (i <= found) {
-            val c = cursors(i)
-            if (!c.exhausted && c.docId == pivotDoc && c.blockLastDocId < boundary)
-              boundary = c.blockLastDocId
-            i += 1
-          }
-          // single-cursor prefix (the hot single-term case): extend across
-          // ALL consecutive blocks whose max stays < θ — metadata-only
-          // scan, the skipped blocks are never decoded
-          if (found == 0 && !cursors(0).exhausted && cursors(0).docId == pivotDoc)
-            boundary = math.max(boundary, cursors(0).boundaryWithMaxBelow(theta))
-          if (found + 1 < cursors.length)
-            boundary = math.min(boundary, cursors(found + 1).docId - 1)
-          if (boundary == Long.MaxValue || boundary < pivotDoc) boundary = pivotDoc
-          i = 0
-          while (i <= found) {
-            val c = cursors(i)
-            if (!c.exhausted && c.docId <= boundary) c.advanceTo(boundary + 1)
-            i += 1
-          }
-        } else {
-          // full evaluation of pivotDoc: gather contributions, then sum
-          // in cursor creation order (term order) so the score is
-          // bit-deterministic independent of cursor sort history
-          val contrib = new Array[Double](nOrd)
-          val used = new Array[Boolean](nOrd)
-          i = 0
-          while (i < cursors.length && !cursors(i).exhausted && {
-            cursors(i).advanceTo(pivotDoc)
-            !cursors(i).exhausted && cursors(i).docId == pivotDoc
-          }) {
-            contrib(cursors(i).ord) = cursors(i).score
-            used(cursors(i).ord) = true
-            cursors(i).next()
-            i += 1
-          }
-          var s = 0.0
-          var j = 0
-          while (j < contrib.length) { if (used(j)) s += contrib(j); j += 1 }
-          offer(Hit(pivotDoc, s))
-        }
-      } else {
-        // advance all pre-pivot cursors to pivotDoc
-        var i = 0
-        while (i < found) { cursors(i).advanceTo(pivotDoc); i += 1 }
-      }
-      cursors = cursors.filterNot(_.exhausted)
-    }
-    drain(heap)
-  }
+  def topK(cursors0: Seq[Cursor], k: Int): Array[Hit] =
+    run(cursors0, k, 0.0, band = false, buf = null)
 
   private def drain(heap: scala.collection.mutable.PriorityQueue[Hit]): Array[Hit] =
-    heap.dequeueAll.reverse.toArray // worst-first dequeue → reverse = best-first
+    heap.dequeueAll.reverse.toArray // worst-first dequeue -> reverse = best-first
 
   /** Candidate generation for additively-blended re-ranking: returns
-    * EXACTLY the set { d : score(d) ≥ θ − slack } where θ is the k-th
-    * best raw score over these cursors, with each doc's exact raw score —
-    * pruned WAND-style with every threshold comparison deflated by
-    * `slack`.
+    * EXACTLY the set { d : score(d) >= theta - slack } where theta is the
+    * k-th best raw score over these cursors, with each doc's exact raw
+    * score - pruned WAND-style with every threshold comparison deflated
+    * by `slack`.
     *
     * Why this is the right primitive for a blend f(d) = g(score(d)) +
-    * extra(d) with g monotone non-decreasing and 0 ≤ extra(d) ≤ E
-    * (λ-proximity, freshness, any bounded secondary signal): the k
-    * best-by-raw-score docs each have f ≥ g(θ), while any doc with
-    * score < θ − slack (slack = E in raw-score units) has
-    * f ≤ g(score) + E < g(θ) — so the true blended top-k is always
+    * extra(d) with g monotone non-decreasing and 0 <= extra(d) <= E
+    * (lambda-proximity, freshness, any bounded secondary signal): the k
+    * best-by-raw-score docs each have f >= g(theta), while any doc with
+    * score < theta - slack (slack = E in raw-score units) has
+    * f <= g(score) + E < g(theta) - so the true blended top-k is always
     * inside the returned set. Pruning safety: a doc skipped at time t
-    * had upperBound + slack < θ_t ≤ θ_final, hence score < θ_final −
-    * slack; contrapositive: every doc with score ≥ θ_final − slack is
-    * fully evaluated and returned.
+    * had upperBound + slack < theta_t <= theta_final, hence score <
+    * theta_final - slack; contrapositive: every doc with score >=
+    * theta_final - slack is fully evaluated and returned.
     *
-    * slack = 0 degenerates to exact WAND top-k semantics (the returned
-    * set is the docs scoring ≥ the k-th best). Scores are summed in
-    * cursor creation order — bit-identical to [[topK]]'s.
+    * slack = 0 degenerates to exact-WAND band semantics (docs scoring >=
+    * the k-th best). Scores are summed in cursor creation order -
+    * bit-identical to [[topK]]'s.
     */
   def candidatesWithSlack(cursors0: Seq[Cursor], k: Int, slack: Double): Array[Hit] = {
     require(slack >= 0.0 && !slack.isNaN, s"bad slack $slack")
-    val heap = new scala.collection.mutable.PriorityQueue[Hit]()(worstFirst)
     val buf = new scala.collection.mutable.ArrayBuffer[Hit]()
-    cursors0.zipWithIndex.foreach { case (c, i) => c.ord = i }
+    val top = run(cursors0, k, slack, band = true, buf = buf)
+    val th = if (top.length < k) Double.NegativeInfinity else top(k - 1).score
+    buf.filter(h => h.score >= th - slack).toArray
+  }
+
+  /** docId-ascending cursor order; static comparator (no closure/boxing
+    * allocation in the hot loop).
+    */
+  private val byDocId: java.util.Comparator[Cursor] = new java.util.Comparator[Cursor] {
+    def compare(a: Cursor, b: Cursor): Int = java.lang.Long.compare(a.docId, b.docId)
+  }
+
+  /** The shared WAND driver. band = false: exact top-k (prune on
+    * ubSum <= theta - ties safe because docIds arrive ascending and lose
+    * the docId tie-break). band = true: strict-< pruning deflated by
+    * slack, every fully-evaluated doc appended to `buf` (an equal-bound
+    * doc ties the band edge theta - slack and belongs to the band by
+    * definition). Returns the heap's best-first top-k either way.
+    *
+    * Hot-loop discipline (this runs per (query, shard) in the batch
+    * path): cursor array compacted IN PLACE as lists exhaust, static
+    * comparator sort over the active range, contribution scratch arrays
+    * allocated once per call - the loop itself allocates only the Hit
+    * per fully-evaluated doc.
+    */
+  private def run(cursors0: Seq[Cursor], k: Int, slack: Double, band: Boolean,
+      buf: scala.collection.mutable.ArrayBuffer[Hit]): Array[Hit] = {
+    val heap = new scala.collection.mutable.PriorityQueue[Hit]()(worstFirst)
     val nOrd = cursors0.size
-    var cursors = cursors0.filterNot(_.exhausted).toArray
+    val cursors = new Array[Cursor](nOrd)
+    var n = 0
+    var oi = 0
+    cursors0.foreach { c =>
+      c.ord = oi; oi += 1
+      if (!c.exhausted) { cursors(n) = c; n += 1 }
+    }
+    // per-call scratch (reset in the summation loop, never reallocated)
+    val contrib = new Array[Double](nOrd)
+    val used = new Array[Boolean](nOrd)
 
     def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head.score
 
+    @inline def prunable(ubSum: Double): Boolean =
+      if (band) ubSum + slack < theta else ubSum <= theta
+
     def offer(h: Hit): Unit = {
-      buf += h
+      if (band) buf += h
       if (heap.size < k) heap.enqueue(h)
       else {
         val w = heap.head
@@ -196,81 +138,101 @@ object Wand {
       }
     }
 
-    // strict-< pruning ALWAYS: an equal-bound doc ties the band edge
-    // θ − slack and belongs to the returned set by definition (and for
-    // slack > 0 a tie could even win the blended docId tie-break), so it
-    // must be evaluated — the returned set is exactly {score ≥ θ − slack}
-    @inline def prunable(ubSum: Double): Boolean = ubSum + slack < theta
-
-    while (cursors.nonEmpty) {
-      java.util.Arrays.sort(cursors, Ordering.by((c: Cursor) => c.docId))
+    var done = false
+    while (n > 0 && !done) {
+      java.util.Arrays.sort(cursors, 0, n, byDocId)
+      // pivot: smallest prefix whose sum of maxScores can still matter
       var acc = 0.0
       var p = 0
       var found = -1
-      while (p < cursors.length && found < 0) {
+      while (p < n && found < 0) {
         acc += cursors(p).maxScore
         if (heap.size < k || !prunable(acc)) found = p
         p += 1
       }
-      if (found < 0) { // nothing left can reach θ − slack
-        val th = theta
-        return buf.filter(h => h.score >= th - slack).toArray
-      }
-      val pivotDoc = cursors(found).docId
-      while (found + 1 < cursors.length && cursors(found + 1).docId == pivotDoc) found += 1
+      if (found < 0) done = true // nothing left can reach theta (- slack)
+      else {
+        val pivotDoc = cursors(found).docId
+        // extend the prefix over every cursor already at pivotDoc, so the
+        // block-max sum below upper-bounds pivotDoc's true score
+        while (found + 1 < n && cursors(found + 1).docId == pivotDoc) found += 1
 
-      if (cursors(0).docId == pivotDoc) {
-        var bmSum = 0.0
-        var i = 0
-        while (i <= found) { cursors(i).advanceTo(pivotDoc); if (!cursors(i).exhausted && cursors(i).docId <= cursors(i).blockLastDocId) bmSum += cursors(i).blockMaxScore; i += 1 }
-        if (heap.size == k && prunable(bmSum)) {
-          var boundary = Long.MaxValue
-          i = 0
+        if (cursors(0).docId == pivotDoc) {
+          // block-max refinement: sum of per-block UBs at pivotDoc
+          var bmSum = 0.0
+          var i = 0
           while (i <= found) {
-            val c = cursors(i)
-            if (!c.exhausted && c.docId == pivotDoc && c.blockLastDocId < boundary)
-              boundary = c.blockLastDocId
+            cursors(i).advanceTo(pivotDoc)
+            if (!cursors(i).exhausted && cursors(i).docId <= cursors(i).blockLastDocId)
+              bmSum += cursors(i).blockMaxScore
             i += 1
           }
-          // single-cursor prefix: cross-block BMW skip while the block
-          // max can't reach the deflated threshold θ − slack
-          if (found == 0 && !cursors(0).exhausted && cursors(0).docId == pivotDoc)
-            boundary = math.max(boundary, cursors(0).boundaryWithMaxBelow(theta - slack))
-          if (found + 1 < cursors.length)
-            boundary = math.min(boundary, cursors(found + 1).docId - 1)
-          if (boundary == Long.MaxValue || boundary < pivotDoc) boundary = pivotDoc
-          i = 0
-          while (i <= found) {
-            val c = cursors(i)
-            if (!c.exhausted && c.docId <= boundary) c.advanceTo(boundary + 1)
-            i += 1
+          if (heap.size == k && prunable(bmSum)) {
+            // shallow advance: skip to just past the nearest block
+            // boundary among the pivot prefix - but never past the first
+            // non-prefix cursor's docId, whose lists could still score
+            // the skipped docs
+            var boundary = Long.MaxValue
+            i = 0
+            while (i <= found) {
+              val c = cursors(i)
+              if (!c.exhausted && c.docId == pivotDoc && c.blockLastDocId < boundary)
+                boundary = c.blockLastDocId
+              i += 1
+            }
+            // single-cursor prefix (the hot single-term case): extend
+            // across ALL consecutive blocks whose max stays under the
+            // (deflated) threshold - metadata-only scan, the skipped
+            // blocks are never decoded
+            if (found == 0 && !cursors(0).exhausted && cursors(0).docId == pivotDoc)
+              boundary = math.max(boundary, cursors(0).boundaryWithMaxBelow(theta - slack))
+            if (found + 1 < n)
+              boundary = math.min(boundary, cursors(found + 1).docId - 1)
+            if (boundary == Long.MaxValue || boundary < pivotDoc) boundary = pivotDoc
+            i = 0
+            while (i <= found) {
+              val c = cursors(i)
+              if (!c.exhausted && c.docId <= boundary) c.advanceTo(boundary + 1)
+              i += 1
+            }
+          } else {
+            // full evaluation of pivotDoc: gather contributions, then sum
+            // in cursor creation order (term order) so the score is
+            // bit-deterministic independent of cursor sort history
+            var i = 0
+            while (i < n && !cursors(i).exhausted && {
+              cursors(i).advanceTo(pivotDoc)
+              !cursors(i).exhausted && cursors(i).docId == pivotDoc
+            }) {
+              contrib(cursors(i).ord) = cursors(i).score
+              used(cursors(i).ord) = true
+              cursors(i).next()
+              i += 1
+            }
+            var s = 0.0
+            var j = 0
+            while (j < nOrd) {
+              if (used(j)) { s += contrib(j); used(j) = false }
+              j += 1
+            }
+            offer(Hit(pivotDoc, s))
           }
         } else {
-          val contrib = new Array[Double](nOrd)
-          val used = new Array[Boolean](nOrd)
-          i = 0
-          while (i < cursors.length && !cursors(i).exhausted && {
-            cursors(i).advanceTo(pivotDoc)
-            !cursors(i).exhausted && cursors(i).docId == pivotDoc
-          }) {
-            contrib(cursors(i).ord) = cursors(i).score
-            used(cursors(i).ord) = true
-            cursors(i).next()
-            i += 1
-          }
-          var s = 0.0
-          var j = 0
-          while (j < contrib.length) { if (used(j)) s += contrib(j); j += 1 }
-          offer(Hit(pivotDoc, s))
+          // advance all pre-pivot cursors to pivotDoc
+          var i = 0
+          while (i < found) { cursors(i).advanceTo(pivotDoc); i += 1 }
         }
-      } else {
+        // in-place compaction of exhausted cursors (no array per round)
+        var w = 0
         var i = 0
-        while (i < found) { cursors(i).advanceTo(pivotDoc); i += 1 }
+        while (i < n) {
+          if (!cursors(i).exhausted) { cursors(w) = cursors(i); w += 1 }
+          i += 1
+        }
+        n = w
       }
-      cursors = cursors.filterNot(_.exhausted)
     }
-    val th = theta
-    buf.filter(h => h.score >= th - slack).toArray
+    drain(heap)
   }
 
   /** Convenience: build cursors then run. `idfByTerm` must contain every

@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.index.InvertedIndex
+
+/** Ad-hoc scaling probe for the batch query path: runs wandTopKBatch
+  * repeatedly against an EXISTING index dir at several parallelism
+  * levels (no build in the loop) and prints per-rep times — used to
+  * separate query-path scaling from build noise when tuning the bench.
+  * Not part of the driver contract.
+  */
+object QpsProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_bench_100/idx_cpu32_0")
+    val levels = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq else Seq(2, 8)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    for (cpus <- levels) {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]").appName(s"qps-probe-$cpus")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("PROBE_PARTS", "64"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val index = new InvertedIndex(spark, dir)
+        val nq = sys.env.getOrElse("PROBE_BATCH", "4096").toInt
+        val batch = graft.Bench.queryBatch(index.nDocs, nq)
+        for (r <- 1 to reps) {
+          System.gc()
+          // stage decomposition: postings scan+filter only, then + decode,
+          // then the full batch (adds WAND + window top-k)
+          import org.apache.spark.sql.functions.col
+          val terms = batch.flatMap(_._2).distinct
+          val t0 = System.nanoTime()
+          index.postings.filter(col("term").isin(terms: _*)).count()
+          val scanSec = (System.nanoTime() - t0) / 1e9
+          val p = index.bm25; val ad = index.avgdl
+          val t1 = System.nanoTime()
+          index.postings.filter(col("term").isin(terms: _*))
+            .rdd.map(pl => graft.index.DecodedList.from(pl, p, ad).docIds.length.toLong)
+            .reduce(_ + _)
+          val decodeSec = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          index.wandTopKBatch(batch, 10).count()
+          val sec = (System.nanoTime() - t2) / 1e9
+          println(f"PROBE cpus=$cpus rep=$r scan=$scanSec%.3f scan+decode=$decodeSec%.3f full=$sec%.3f qps=${4096 / sec}%.1f")
+        }
+      } finally spark.stop()
+    }
+  }
+}

@@ -158,6 +158,10 @@ object SparkEntry {
       graft.ops.TextStats.tokenCounts(table(s, dir, "documents"), "text", "doc_id")),
     "fingerprint" -> ((s, dir) =>
       graft.ops.TextStats.fingerprint(table(s, dir, "documents"), "text", "doc_id")),
+    "pii_redact" -> ((s, dir) =>
+      graft.ops.TextStats.redactPii(table(s, dir, "documents"), "text", "doc_id")),
+    "rep_ratio" -> ((s, dir) =>
+      graft.ops.TextStats.repetitionRatio(table(s, dir, "documents"), "text", "doc_id")),
 
     // -- similarity search over embeddings --------------------------------
     "ann_ivf" -> ((s, dir) => {
@@ -529,6 +533,32 @@ object SparkEntry {
          |      + 0.3 * least((alnum / ntoks) / 8.0, 1.0) END) * 1e6) / 1e6 AS quality
          |FROM base""".stripMargin
     },
+    "pii_redact" -> {
+      import graft.ops.TextStats.{PiiEmail, PiiIpv4, PiiLongDigits}
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$PiiEmail')) AS n_emails,
+         |  len(regexp_extract_all(text, '$PiiIpv4')) AS n_ips,
+         |  len(regexp_extract_all(text, '$PiiLongDigits')) AS n_digit_runs,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$PiiEmail', '<EMAIL>', 'g'),
+         |    '$PiiIpv4', '<IP>', 'g'),
+         |    '$PiiLongDigits', '<NUM>', 'g') AS redacted
+         |FROM documents""".stripMargin
+    },
+    "rep_ratio" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+        |  FROM arrs CROSS JOIN generate_series(1, 4096) g(i)
+        |  WHERE i + 2 <= len(arr)),
+        |agg AS (SELECT doc_id, count(*) AS total, count(DISTINCT shingle) AS uniq
+        |        FROM sh GROUP BY 1)
+        |SELECT d.doc_id,
+        |  floor(CASE WHEN a.total IS NULL OR a.total = 0 THEN 0.0
+        |             ELSE 1.0 - a.uniq * 1.0 / a.total END * 1e6) / 1e6 AS rep_ratio
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "token_counts" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,

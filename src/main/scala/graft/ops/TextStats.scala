@@ -80,6 +80,50 @@ object TextStats {
       size(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)).as("word_tokens"),
       length(regexp_replace(col(textCol), "\\s", "")).as("non_space_chars"))
 
+  /** PII patterns shared by the op and its SQL oracle. RE2-safe (no
+    * lookaround/backrefs) so DuckDB's regex engine agrees with Java's.
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiLongDigits = "[0-9]{7,}"
+
+  /** PII scrubbing for training corpora: redact emails, IPv4 addresses,
+    * and long digit runs (phone/account-shaped) with typed placeholders;
+    * per-category match counts emitted for audit. Counts are taken on
+    * the ORIGINAL text (so categories don't shadow each other), then
+    * replacements chain email → ip → digits. Pure codegen'd regexp
+    * expressions — SQL-replayable.
+    */
+  def redactPii(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_count(t, lit(PiiEmail)).as("n_emails"),
+      regexp_count(t, lit(PiiIpv4)).as("n_ips"),
+      regexp_count(t, lit(PiiLongDigits)).as("n_digit_runs"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, PiiEmail, "<EMAIL>"),
+          PiiIpv4, "<IP>"),
+        PiiLongDigits, "<NUM>").as("redacted"))
+  }
+
+  /** n-gram repetition ratio (the Gopher-style duplicate-content
+    * signal): 1 − distinct n-grams / total n-grams, 0 for docs shorter
+    * than n tokens. Floor-truncated to 6 decimals for engine
+    * portability.
+    */
+  def repetitionRatio(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = Dedup.shingleArray(col(textCol), n)
+    docs.select(
+      col(idCol).as("doc_id"),
+      (floor(
+        when(size(grams) <= 0, 0.0).otherwise(
+          lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+          * 1e6) / 1e6).as("rep_ratio"))
+  }
+
   /** Winnowed document fingerprints (true winnowing per
     * Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
     * Document Fingerprinting"): Rabin–Karp hashes (base 257 mod 2⁶¹−1)

@@ -108,6 +108,30 @@ class OpsSpec extends AnyFunSuite {
     assert(r(1L) > r(9L), "clean English text scores above punctuation soup")
   }
 
+  test("redactPii: emails/IPs/digit runs replaced, counts from original text") {
+    val pii = Seq(
+      (1L, "contact bob@example.com or alice@corp.io from 10.0.0.1 ref 12345678"),
+      (2L, "no pii here, just words and 123 and 1.2 numbers"),
+      (3L, "dial 5551234567 twice: 5551234567")).toDF("doc_id", "text")
+    val r = TextStats.redactPii(pii, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3), x.getString(4)))).toMap
+    assert(r(1L)._1 == 2 && r(1L)._2 == 1 && r(1L)._3 == 1)
+    assert(r(1L)._4 == "contact <EMAIL> or <EMAIL> from <IP> ref <NUM>")
+    assert(r(2L) == ((0, 0, 0, "no pii here, just words and 123 and 1.2 numbers")))
+    assert(r(3L)._3 == 2 && r(3L)._4 == "dial <NUM> twice: <NUM>")
+  }
+
+  test("repetitionRatio: repeated 3-grams score high, unique text 0, short text 0") {
+    val d = Seq(
+      (1L, "a b c a b c a b c a b c"), // 12 toks → 10 grams, 3 distinct
+      (2L, "one two three four five six seven"),
+      (3L, "hi")).toDF("doc_id", "text")
+    val r = TextStats.repetitionRatio(d, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.7) < 1e-6, s"got ${r(1L)}")
+    assert(r(2L) == 0.0 && r(3L) == 0.0)
+  }
+
   test("fingerprint: dup docs share fingerprint sets, deterministic") {
     def run() = TextStats.fingerprint(docs, "text", "doc_id")
       .collect().map(x => (x.getLong(0), x.getSeq[Long](1))).toMap

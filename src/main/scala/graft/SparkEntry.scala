@@ -100,6 +100,13 @@ object SparkEntry {
     "wand_topk" -> ((s, dir) => {
       documentsIndex(s, dir).wandTopK(Seq("stream", "merge", "window"), 10, roundTo = 4)
     }),
+    // epoch-append ingest: index built over the FIRST half of the
+    // corpus, second half APPENDED as an epoch (snapshot ingest) — the
+    // oracle is plain SQL BM25 over the FULL corpus, proving base+epoch
+    // queries (including cross-epoch avgdl bound lifting) are exact
+    "wand_topk_appended" -> ((s, dir) => {
+      documentsIndexAppended(s, dir).wandTopK(Seq("spark", "merge", "window"), 10, roundTo = 4)
+    }),
 
     // -- dense vector regime over the embeddings table -------------------
     "cosine_topk" -> ((s, dir) => {
@@ -341,6 +348,31 @@ object SparkEntry {
       graft.index.IndexBuilder.Params(docsPerShard = 64L, numParts = 8, tokenizer = "simple"))
   }
 
+  /** Inverted index built over the FIRST half of the documents table,
+    * with the second half APPENDED as an epoch (the snapshot-ingest
+    * path) — backs the `wand_topk_appended` gate, whose oracle is SQL
+    * BM25 over the FULL corpus. Stage lineage + the committed-epoch
+    * fingerprint make repeated calls resume/no-op.
+    */
+  def documentsIndexAppended(s: SparkSession, dir: String): graft.index.InvertedIndex = {
+    import s.implicits._
+    val fp = documentsFp(s, dir)
+    val half = fp.split(":")(0).toLong / 2
+    def docsPart(low: Boolean) = table(s, dir, "documents")
+      .filter(if (low) col("doc_id") < half else col("doc_id") >= half)
+      .select(col("doc_id").as("docId"), col("source").as("repo"),
+        col("doc_id").cast("string").as("path"), lit("").as("commit"),
+        col("lang"), col("text").as("content"))
+      .as[graft.index.DocIds.Doc]
+    val sfName = new java.io.File(dir).getName
+    val idxDir = s"/tmp/graft_docidx_apnd_$sfName"
+    val p = graft.index.IndexBuilder.Params(docsPerShard = 64L, numParts = 8, tokenizer = "simple")
+    graft.index.IndexBuilder.buildFromDocs(s, docsPart(low = true), idxDir,
+      corpusFp = s"documents-base:$dir:$fp", p)
+    graft.index.IndexBuilder.appendFromDocs(s, docsPart(low = false), idxDir,
+      appendFp = s"documents-epoch1:$dir:$fp", p)
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -369,6 +401,7 @@ object SparkEntry {
         |SELECT term, count(*) AS df FROM tf GROUP BY term""".stripMargin,
     "bm25_topk" -> bm25OracleSql(Seq("spark", "query", "vector"), 10),
     "wand_topk" -> bm25OracleSql(Seq("stream", "merge", "window"), 10),
+    "wand_topk_appended" -> bm25OracleSql(Seq("spark", "merge", "window"), 10),
     "blended_alpha1" -> {
       // identical CTEs to the BM25 oracle, but emit (rank, doc_id):
       // α=1 blending rescales scores by a positive constant, so ranks

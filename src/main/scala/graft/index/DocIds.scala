@@ -24,7 +24,11 @@ object DocIds {
   case class Doc(docId: Long, repo: String, path: String, commit: String,
       lang: String, content: String)
 
-  def assign(files: Dataset[SourceFile], numParts: Int): Dataset[Doc] = {
+  /** `base` offsets every id — an appended epoch's ids start at the
+    * current corpus size (the Iceberg-snapshot analog: each snapshot's
+    * new files get the next contiguous id range).
+    */
+  def assign(files: Dataset[SourceFile], numParts: Int, base: Long = 0L): Dataset[Doc] = {
     val spark = files.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.{count => cnt, _}
@@ -40,7 +44,7 @@ object DocIds {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     val offsets = new Array[Long](numParts)
-    var acc = 0L
+    var acc = base
     counts.sortBy(_._1).foreach { case (pid, n) => offsets(pid) = acc; acc += n }
     val bOffsets = spark.sparkContext.broadcast(offsets)
     // Pass 2 — the actual shuffle + in-partition sort + id attach.

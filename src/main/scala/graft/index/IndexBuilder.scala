@@ -28,8 +28,9 @@ object IndexBuilder {
       bm25: BM25.Params = BM25.Params(),
       tokenizer: String = "code", // "code" | "simple"
       mergeBuckets: Int = 1) { // >1 → the posting merge commits per bucket (mid-merge resume)
+    // v2: posting lists carry encAvgdl (appendable-epoch bound safety)
     def fingerprint: String =
-      s"dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets"
+      s"v2;dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets"
   }
 
   /** Token stream (doc_id, term) under the configured tokenizer mode. */
@@ -163,13 +164,143 @@ object IndexBuilder {
     }
 
     // ---- stage 4: global term document frequencies --------------------
-    Stage.run(s"$dir/termstats", "termstats", fp) {
-      spark.read.parquet(s"$dir/postings")
+    // fingerprint keyed on (base fp, total epochs) with the SAME recipe
+    // the append path uses, so base-resume and append don't ping-pong
+    // recomputes; after appends this stage covers every epoch's postings
+    val epochsNow = readMeta(s"$dir/meta.props").getOrElse("epochs", "1").toInt
+    Stage.run(s"$dir/termstats", "termstats",
+      Stage.fingerprintOf("termstats", fp, "epochs", epochsNow.toString)) {
+      val paths = Seq(s"$dir/postings") ++
+        (1 until epochsNow).map(e => s"$dir/epochs/e$e/postings")
+      spark.read.parquet(paths: _*)
         .groupBy($"term").agg(sum($"df").as("df"))
         .write.mode("overwrite").parquet(s"$dir/termstats")
       -1L
     }
 
+    new InvertedIndex(spark, dir)
+  }
+
+  /** Append a new EPOCH of raw files to an existing index (the
+    * Iceberg-snapshot ingest analog): new docs get the next contiguous
+    * docId range (→ fresh doc-shards, so every existing posting list
+    * stays byte-identical), the epoch's postings are encoded under the
+    * UPDATED corpus avgdl (encAvgdl travels with each list so block-max
+    * bounds from older epochs stay safe — PostingFormat.boundFactor),
+    * doclens/meta accumulate, and termstats are recomputed over all
+    * epochs. Stage-checkpointed like the base build: a crashed append
+    * resumes; re-running a committed epoch with the same payload is a
+    * no-op. Queries see base + epochs transparently (the readers union
+    * epoch directories).
+    */
+  def append(spark: SparkSession, newFiles: => Dataset[SourceFile], dir: String,
+      appendFp: String, p: Params = Params()): InvertedIndex =
+    appendStages(spark, dir, appendFp, p) { (base: Long) =>
+      import spark.implicits._
+      DocIds.assign(newFiles, p.numParts, base).withColumn("sha256", sha2($"content", 256))
+    }
+
+  /** Append docs that already carry stable ids; ids must start at the
+    * index's current nDocs and be contiguous (enforced).
+    */
+  def appendFromDocs(spark: SparkSession, docsIn: => Dataset[Doc], dir: String,
+      appendFp: String, p: Params = Params()): InvertedIndex =
+    appendStages(spark, dir, appendFp, p) { (base: Long) =>
+      import spark.implicits._
+      docsIn.withColumn("sha256", sha2($"content", 256))
+    }
+
+  private def appendStages(spark: SparkSession, dir: String, appendFp: String,
+      p: Params)(stage1: Long => DataFrame): InvertedIndex = {
+    import spark.implicits._
+    val meta0 = readMeta(s"$dir/meta.props")
+    require(meta0("fingerprint") != null)
+    val epoch = meta0.getOrElse("epochs", "1").toInt
+    // idempotency: a COMMITTED epoch with this payload fingerprint makes
+    // re-append a no-op (streaming micro-batch replay after a crash
+    // between our commit and the stream's checkpoint commit)
+    if ((1 until epoch).exists(e => meta0.get(s"fp_e$e").contains(appendFp)))
+      return new InvertedIndex(spark, dir)
+    val baseDocs = meta0("nDocs").toLong
+    val baseToks = meta0("totalTokens").toLong
+    val eDir = s"$dir/epochs/e$epoch"
+    Files.createDirectories(Paths.get(eDir))
+    val fp = Stage.fingerprintOf(appendFp, p.fingerprint, meta0("fingerprint"), s"epoch=$epoch")
+
+    // ---- stage 1: the epoch's docs, ids starting at the current size ----
+    Stage.run(s"$eDir/docs", s"docs/e$epoch", fp) {
+      stage1(baseDocs).write.mode("overwrite").parquet(s"$eDir/docs")
+      -1L
+    }
+    def docs: Dataset[Doc] = spark.read.parquet(s"$eDir/docs")
+      .select("docId", "repo", "path", "commit", "lang", "content").as[Doc]
+
+    // ---- stage 2: the epoch's term frequencies --------------------------
+    Stage.run(s"$eDir/termfreq", s"termfreq/e$epoch", fp) {
+      tokens(docs, p.tokenizer)
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$eDir/termfreq")
+      -1L
+    }
+
+    // ---- stage 2b: doclens + corpus-stat accumulation -------------------
+    Stage.run(s"$eDir/doclens", s"doclens/e$epoch", fp) {
+      val dl = spark.read.parquet(s"$eDir/termfreq")
+        .groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      dl.write.mode("overwrite").parquet(s"$eDir/doclens")
+      val st = spark.read.parquet(s"$eDir/doclens")
+        .agg(count(lit(1)).cast("long").as("n"), sum($"dl").as("toks"),
+          min($"doc_id").as("minId"), max($"doc_id").as("maxId"))
+        .collect()(0)
+      val (m, toks) = (st.getLong(0), st.getLong(1))
+      require(st.getLong(2) == baseDocs && st.getLong(3) == baseDocs + m - 1,
+        s"appended ids must be contiguous from $baseDocs; got [${st.getLong(2)}, ${st.getLong(3)}] for $m docs")
+      val nDocs = baseDocs + m
+      val totalTokens = baseToks + toks
+      val newAvgdl = totalTokens.toDouble / nDocs
+      writeMeta(s"$dir/meta.props", meta0 ++ Map(
+        "nDocs" -> nDocs.toString,
+        "avgdl" -> newAvgdl.toString,
+        "totalTokens" -> totalTokens.toString,
+        s"avgdl_e$epoch" -> newAvgdl.toString))
+      m
+    }
+    val metaNow = readMeta(s"$dir/meta.props")
+    val epochAvgdl = metaNow(s"avgdl_e$epoch").toDouble
+
+    // ---- stage 3: the epoch's compressed posting lists ------------------
+    // (new ids ⇒ new shard range; existing lists untouched; same typed
+    // sort-merge aggregation as the base build)
+    Stage.run(s"$eDir/postings", s"postings/e$epoch", fp) {
+      val tf = spark.read.parquet(s"$eDir/termfreq")
+      val dl = spark.read.parquet(s"$eDir/doclens")
+      val agg = new PostingAgg(p.bm25, epochAvgdl)
+      tf.join(dl, "doc_id")
+        .select($"term", ($"doc_id" / lit(p.docsPerShard)).cast("int").as("shard"),
+          $"doc_id".as("docId"), $"tf", $"dl")
+        .as[PostingEntry]
+        .groupByKey(e => (e.term, e.shard))
+        .agg(agg.toColumn)
+        .map(_._2)
+        .repartition(math.max(p.numParts / 4, 1), $"shard")
+        .sortWithinPartitions($"shard", $"term")
+        .write.mode("overwrite").parquet(s"$eDir/postings")
+      -1L
+    }
+
+    // ---- stage 4: GLOBAL termstats across all epochs + commit epoch ----
+    Stage.run(s"$dir/termstats", "termstats",
+      Stage.fingerprintOf("termstats", meta0("fingerprint"), "epochs", (epoch + 1).toString)) {
+      val paths = Seq(s"$dir/postings") ++
+        (1 to epoch).map(e => s"$dir/epochs/e$e/postings")
+      spark.read.parquet(paths: _*)
+        .groupBy($"term").agg(sum($"df").as("df"))
+        .write.mode("overwrite").parquet(s"$dir/termstats")
+      -1L
+    }
+    writeMeta(s"$dir/meta.props",
+      readMeta(s"$dir/meta.props") +
+        ("epochs" -> (epoch + 1).toString) + (s"fp_e$epoch" -> appendFp))
     new InvertedIndex(spark, dir)
   }
 
@@ -192,19 +323,24 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
   def nDocs: Long = meta("nDocs").toLong
   def avgdl: Double = meta("avgdl").toDouble
   def bm25: BM25.Params = BM25.Params(meta("k1").toDouble, meta("b").toDouble)
+  /** Total epochs: 1 (base) + appended snapshots. */
+  def epochs: Int = meta.getOrElse("epochs", "1").toInt
+
+  private def epochPaths(sub: String): Seq[String] =
+    Seq(s"$dir/$sub") ++ (1 until epochs).map(e => s"$dir/epochs/e$e/$sub")
 
   def postings: Dataset[PostingList] =
-    spark.read.parquet(s"$dir/postings")
+    spark.read.parquet(epochPaths("postings"): _*)
       // explicit projection: a bucketed layout adds a bucket partition
       // column that the encoder must not see
       .select("term", "shard", "df", "docBytes", "tfBytes", "dlBytes", "blockLen",
         "blockLastDoc", "blockDocOff", "blockTfOff", "blockDlOff",
-        "blockMaxPartial", "maxPartial")
+        "blockMaxPartial", "maxPartial", "encAvgdl")
       .as[PostingList]
 
   def termStats: DataFrame = spark.read.parquet(s"$dir/termstats")
 
-  def docs: DataFrame = spark.read.parquet(s"$dir/docs")
+  def docs: DataFrame = spark.read.parquet(epochPaths("docs"): _*)
 
   /** Per-handle idf memo: repeated queries on the same terms skip the
     * termstats job entirely (one extra Spark job per query otherwise).

@@ -34,7 +34,15 @@ case class PostingList(
     blockTfOff: Array[Int],
     blockDlOff: Array[Int],
     blockMaxPartial: Array[Double],
-    maxPartial: Double
+    maxPartial: Double,
+    /** The corpus avgdl this list's block-max bounds were ENCODED with.
+      * Appending epochs moves the live avgdl; since the BM25 partial is
+      * increasing in avgdl (and its ratio is bounded by the avgdl
+      * ratio — see [[PostingFormat.boundFactor]]), bounds stay safe
+      * when scaled by max(1, avgdlNow / encAvgdl). Exact per-posting
+      * scores are always recomputed with the live avgdl at query time.
+      */
+    encAvgdl: Double
 )
 
 /** Process-wide posting-decode counters — measurement hooks proving that
@@ -113,8 +121,17 @@ object PostingFormat {
       b += 1
     }
     PostingList(term, shard, n.toLong, docOut.toArray, tfOut.toArray, dlOut.toArray,
-      bLen, bLast, bDocOff, bTfOff, bDlOff, bMax, maxPartial)
+      bLen, bLast, bDocOff, bTfOff, bDlOff, bMax, maxPartial, avgdl)
   }
+
+  /** Safe multiplier turning bounds encoded at `encAvgdl` into upper
+    * bounds at the live `avgdlNow`: partial(tf, dl, avgdl) is increasing
+    * in avgdl and partial(a₂)/partial(a₁) ≤ a₂/a₁ for a₂ > a₁ (because
+    * (c+x)/(c+y) ≤ x/y for c ≥ 0, x ≥ y with x = k1·b·dl/a₁,
+    * y = k1·b·dl/a₂, c = tf + k1(1−b)).
+    */
+  @inline def boundFactor(encAvgdl: Double, avgdlNow: Double): Double =
+    if (avgdlNow > encAvgdl && encAvgdl > 0.0) avgdlNow / encAvgdl else 1.0
 
   /** idf-free BM25 partial score of one posting. */
   @inline def partial(tf: Double, dl: Double, p: BM25.Params, avgdl: Double): Double =
@@ -175,8 +192,13 @@ object DecodedList {
       partials(i) = PostingFormat.partial(tfs(i).toDouble, dls(i).toDouble, params, avgdl)
       i += 1
     }
+    // exact partials above use the LIVE avgdl; the encoded block-max
+    // bounds are lifted by the safe factor when the corpus grew since
+    // this list was written (appended epochs)
+    val bf = PostingFormat.boundFactor(pl.encAvgdl, avgdl)
+    val bMax = if (bf == 1.0) pl.blockMaxPartial else pl.blockMaxPartial.map(_ * bf)
     new DecodedList(pl.term, pl.shard, ids, partials, pl.blockLastDoc,
-      pl.blockMaxPartial, pl.maxPartial)
+      bMax, pl.maxPartial * bf)
   }
 }
 
@@ -237,7 +259,12 @@ final class PostingCursor(val pl: PostingList, params: BM25.Params, avgdl: Doubl
   private var exhaustedFlag = false
   loadBlock(0)
 
-  val maxScore: Double = idf * pl.maxPartial
+  /** Lifts encoded bounds to the live avgdl (1.0 unless the corpus grew
+    * since this list was written — appended epochs).
+    */
+  private val bf: Double = PostingFormat.boundFactor(pl.encAvgdl, avgdl)
+
+  val maxScore: Double = idf * pl.maxPartial * bf
 
   private def loadBlock(b: Int): Unit = {
     if (b >= nBlocks) { exhaustedFlag = true; return }
@@ -263,7 +290,7 @@ final class PostingCursor(val pl: PostingList, params: BM25.Params, avgdl: Doubl
     idf * PostingFormat.partial(tfsInBlock(pos).toDouble, dlsInBlock(pos).toDouble, params, avgdl)
 
   /** Upper bound of any doc's contribution in the current block. */
-  def blockMaxScore: Double = idf * pl.blockMaxPartial(blockIdx)
+  def blockMaxScore: Double = idf * pl.blockMaxPartial(blockIdx) * bf
 
   /** Last docId of the current block (shallow-advance boundary). */
   def blockLastDocId: Long = pl.blockLastDoc(blockIdx)
@@ -274,7 +301,7 @@ final class PostingCursor(val pl: PostingList, params: BM25.Params, avgdl: Doubl
     */
   override def boundaryWithMaxBelow(limit: Double): Long = {
     var b = blockIdx
-    while (b + 1 < nBlocks && idf * pl.blockMaxPartial(b + 1) < limit) b += 1
+    while (b + 1 < nBlocks && idf * pl.blockMaxPartial(b + 1) * bf < limit) b += 1
     pl.blockLastDoc(b)
   }
 

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.corpus.SourceFile
+import graft.index.{IndexBuilder, InvertedIndex}
+
+/** Streaming index ingest: each micro-batch becomes one appended EPOCH
+  * of the inverted index (the Iceberg-snapshot analog of the north
+  * star — "docIDs assigned per snapshot"): contiguous docId ranges per
+  * batch, per-epoch posting lists with avgdl-safe block-max bounds,
+  * global termstats refreshed per commit.
+  *
+  * Exactly-once: the epoch payload fingerprint is the micro-batch id;
+  * IndexBuilder.appendStages records committed fingerprints in
+  * meta.props, so a batch replayed after a crash between the index
+  * commit and the stream checkpoint is a structural no-op, and a batch
+  * that died mid-append resumes from its last completed stage.
+  */
+object IndexStream {
+
+  /** Start appending every micro-batch of `files` to the index at
+    * `dir` (which must already hold a base build — possibly of zero
+    * epochs' worth of appends).
+    */
+  def start(spark: SparkSession, files: Dataset[SourceFile], dir: String,
+      params: IndexBuilder.Params, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    files.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[SourceFile], batchId: Long) =>
+        if (!batch.isEmpty)
+          IndexBuilder.append(spark, batch, dir, appendFp = s"stream-batch:$batchId", params)
+        ()
+      }
+      .start()
+
+  /** Convenience: current queryable handle over the ingested index. */
+  def index(spark: SparkSession, dir: String): InvertedIndex =
+    new InvertedIndex(spark, dir)
+}

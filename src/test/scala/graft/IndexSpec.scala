@@ -109,6 +109,70 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("append epoch ≡ full rebuild: identical (path, score) ranking; bounds stay exact") {
+    import spark.implicits._
+    val p = IndexBuilder.Params(docsPerShard = 128L, numParts = 8)
+    val full = IndexBuilder.build(spark, CodeCorpus.generate(spark, 900L, 42L, 8),
+      s"$tmp/full900", corpusFp = "synthetic:42:900", p)
+    val base = IndexBuilder.build(spark, CodeCorpus.generate(spark, 600L, 42L, 8),
+      s"$tmp/appidx", corpusFp = "synthetic:42:600", p)
+    assert(base.nDocs == 600 && base.epochs == 1)
+    val extra = spark.createDataset((600L until 900L).map(id => CodeCorpus.file(42L, id)))
+    val appended = IndexBuilder.append(spark, extra, s"$tmp/appidx", appendFp = "e1:600-900", p)
+    assert(appended.nDocs == 900 && appended.epochs == 2)
+    assert(math.abs(appended.avgdl - full.avgdl) < 1e-9)
+    // docIds differ between the two builds (global vs per-epoch sort), so
+    // compare by document PATH with scores
+    def tops(ix: graft.index.InvertedIndex, q: Seq[String]): Seq[(String, Double)] = {
+      val hits = ix.wandTopK(q, 10).withColumnRenamed("doc_id", "docId")
+      hits.join(ix.docs.select(col("docId"), col("path")), "docId")
+        .orderBy(col("score").desc, col("path").asc)
+        .select("path", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
+    val needle = CodeCorpus.needleToken(42L, 700L)
+    val queries = Seq(Seq("get"), Seq("data", "index", "merge"),
+      graft.tokenize.CodeTokenizer.codeTokens(needle).toSeq)
+    for (q <- queries) {
+      val a = tops(full, q)
+      val b = tops(appended, q)
+      assert(a.map(_._1) == b.map(_._1), s"q=$q: $a vs $b")
+      a.zip(b).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) < 1e-9) }
+      // appended-index WAND (with cross-epoch bound factors) ≡ exhaustive
+      val w = appended.wandTopK(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val e = appended.exactTopK(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(w.map(_._1) == e.map(_._1), s"q=$q WAND vs exact: $w vs $e")
+      w.zip(e).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // committed-epoch idempotency: same payload fingerprint → no-op
+    val again = IndexBuilder.append(spark, extra, s"$tmp/appidx", appendFp = "e1:600-900", p)
+    assert(again.nDocs == 900 && again.epochs == 2)
+  }
+
+  test("append with LONGER docs (avgdl grows): stale block-max bounds stay safe") {
+    import spark.implicits._
+    val p = IndexBuilder.Params(docsPerShard = 64L, numParts = 4)
+    val baseIx = IndexBuilder.build(spark, CodeCorpus.generate(spark, 300L, 7L, 4),
+      s"$tmp/growidx", corpusFp = "synthetic:7:300", p)
+    val baseAvgdl = baseIx.avgdl
+    // appended docs ~8× longer than the base corpus average → live avgdl
+    // rises well above every base list's encAvgdl → boundFactor > 1 paths
+    val rnd = new scala.util.Random(9)
+    val stems = CodeCorpus.Stems
+    val long = spark.createDataset((0 until 150).map { i =>
+      val body = (0 until 3000).map(_ => stems(rnd.nextInt(stems.length))).mkString(" ")
+      graft.corpus.SourceFile(s"repo-long", f"long/$i%04d.txt", "c0", "txt", s"get data $body")
+    })
+    val ix = IndexBuilder.append(spark, long, s"$tmp/growidx", appendFp = "e1:long", p)
+    assert(ix.avgdl > 1.5 * baseAvgdl, s"avgdl should grow: $baseAvgdl -> ${ix.avgdl}")
+    for (q <- Seq(Seq("get"), Seq("get", "data"), Seq("data", "index"))) {
+      val w = ix.wandTopK(q, 15).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val e = ix.exactTopK(q, 15).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(w.map(_._1) == e.map(_._1), s"q=$q: bounds unsafe after avgdl growth: $w vs $e")
+      w.zip(e).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
   test("docIds are dense and unique 0..N-1") {
     // validates the pmod(hash(keys), P) == HashPartitioning partition-id
     // identity that the no-shuffle counting pass relies on
@@ -159,8 +223,11 @@ class IndexSpec extends AnyFunSuite {
     index // force first build
     val fp = Stage.fingerprintOf(s"synthetic:42:$nFiles",
       IndexBuilder.Params(docsPerShard = 128L, numParts = 8).fingerprint)
-    for (s <- Seq("docs", "doclens", "postings", "termstats"))
+    for (s <- Seq("docs", "doclens", "postings"))
       assert(Stage.isComplete(s"$tmp/idx/$s", fp), s)
+    // termstats is epoch-scoped (recomputed when epochs are appended)
+    assert(Stage.isComplete(s"$tmp/idx/termstats",
+      Stage.fingerprintOf("termstats", fp, "epochs", "1")), "termstats")
     val r = Stage.run(s"$tmp/idx/docs", "docs", fp) { fail("must not recompute"); 0L }
     assert(r.skipped)
   }

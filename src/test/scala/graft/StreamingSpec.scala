@@ -50,6 +50,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming index ingest: micro-batch epochs ≡ full rebuild") {
+    import spark.implicits._
+    import graft.corpus.CodeCorpus
+    import graft.index.IndexBuilder
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val p = IndexBuilder.Params(docsPerShard = 64L, numParts = 4)
+    // base snapshot: files 0..199
+    IndexBuilder.build(spark, CodeCorpus.generate(spark, 200L, 42L, 4),
+      s"$tmp/idx", corpusFp = "stream-base:200", p)
+    // two later snapshots arrive as micro-batches through a file stream
+    val srcDir = s"$tmp/incoming"
+    def dropBatch(lo: Long, hi: Long): Unit =
+      spark.createDataset((lo until hi).map(id => CodeCorpus.file(42L, id)))
+        .write.mode("append").parquet(srcDir)
+    val schema = org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile].schema
+    def ingestAvailable(): Unit = {
+      val files = spark.readStream.schema(schema).parquet(srcDir)
+        .as[graft.corpus.SourceFile]
+      val q = graft.streaming.IndexStream.start(spark, files, s"$tmp/idx", p,
+        checkpoint = s"$tmp/ckpt")
+      q.awaitTermination()
+    }
+    dropBatch(200L, 300L)
+    ingestAvailable()
+    dropBatch(300L, 400L)
+    ingestAvailable()
+    val ingested = graft.streaming.IndexStream.index(spark, s"$tmp/idx")
+    assert(ingested.nDocs == 400L, s"nDocs ${ingested.nDocs}")
+    assert(ingested.epochs >= 3) // base + ≥1 epoch per availability run
+    // ranking must equal a from-scratch build over the same 400 files
+    val full = IndexBuilder.build(spark, CodeCorpus.generate(spark, 400L, 42L, 4),
+      s"$tmp/full", corpusFp = "stream-full:400", p)
+    def tops(ix: graft.index.InvertedIndex, q: Seq[String]): Seq[(String, Double)] = {
+      val hits = ix.wandTopK(q, 10).withColumnRenamed("doc_id", "docId")
+      hits.join(ix.docs.select(col("docId"), col("path")), "docId")
+        .orderBy(col("score").desc, col("path").asc)
+        .select("path", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
+    for (q <- Seq(Seq("get"), Seq("data", "index", "merge"))) {
+      val a = tops(full, q)
+      val b = tops(ingested, q)
+      assert(a.map(_._1) == b.map(_._1), s"q=$q: $a vs $b")
+      a.zip(b).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
   test("stateful stream: running count per event_type with update mode") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema

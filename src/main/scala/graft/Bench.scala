@@ -240,7 +240,7 @@ object Bench {
     // window, and the reported efficiency is the best pair's (the
     // min-time estimator applied to the ratio's one-sided slowdown
     // noise)
-    val pairs = (0 until 2).map { a =>
+    val pairs = (0 until 3).map { a =>
       (runLevel(1, nScale, tmp, singles = false, attempt = a),
         runLevel(4, nScale, tmp, singles = false, attempt = a))
     }
@@ -248,8 +248,15 @@ object Bench {
     val r4 = pairs.map(_._2).reduce(best)
     val r32 = runLevel(32, nFull, tmp, singles = true, attempt = 0)
     val total = (System.nanoTime() - tTotal) / 1e9
-    val effBuild = pairs.map { case (a, b) => b.filesPerSec / (4.0 * a.filesPerSec) }.max
-    val effQps = pairs.map { case (a, b) => b.qps / (4.0 * a.qps) }.max
+    // MEDIAN of the adjacent-pair ratios: robust to a single contended
+    // window on either side (a max can exceed 1.0 when the 1-core
+    // window alone was slowed — observed); all pair ratios are emitted
+    // for transparency
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    val pairEffBuild = pairs.map { case (a, b) => b.filesPerSec / (4.0 * a.filesPerSec) }
+    val pairEffQps = pairs.map { case (a, b) => b.qps / (4.0 * a.qps) }
+    val effBuild = median(pairEffBuild)
+    val effQps = median(pairEffQps)
     def f(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val singleJson = (r32.singles.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${f(v)}""" } ++ Seq(
@@ -266,6 +273,8 @@ object Bench {
         s""""build_files_per_sec_n1":${f(r1.filesPerSec)},"build_files_per_sec_n4":${f(r4.filesPerSec)},""" +
         s""""build_files_per_sec_n32_full":${f(r32.filesPerSec)},""" +
         s""""qps_n1":${f(r1.qps)},"qps_n4":${f(r4.qps)},"qps_n32_full":${f(r32.qps)},""" +
+        s""""pair_eff_build":[${pairEffBuild.map(f).mkString(",")}],""" +
+        s""""pair_eff_qps":[${pairEffQps.map(f).mkString(",")}],""" +
         s""""scaling_efficiency_build":${f(effBuild)},"scaling_efficiency_qps":${f(effQps)}}"""
     println(json)
     // machine-readable copy: the driver parses the printed line, but a
@@ -282,13 +291,14 @@ object Bench {
            |Scaling pair runs the IDENTICAL job (same plan, same shuffle
            |partitioning, same sharding) on the same $nScale-file corpus at
            |N = local[1] and 4N = local[4]; efficiency = thr(4N) / (4·thr(N)).
-           |Protocol: two ADJACENT (1-core, 4-core) pairs, every attempt in
+           |Protocol: three ADJACENT (1-core, 4-core) pairs, every attempt in
            |a fresh JVM (JVM aging across levels biased later levels
            |10-15%), two timed batch reps per attempt; throughputs are
-           |best-of-attempts, the efficiency is the best adjacent pair's —
-           |this box's ambient contention drifts on ~10-minute scales, so
-           |a ratio across distant windows measures the drift, not the
-           |job. The full-machine run (local[32],
+           |best-of-attempts, the efficiency is the MEDIAN adjacent-pair
+           |ratio (robust to one contended window on either side; all pair
+           |ratios in BENCH.json) — this box's ambient contention drifts
+           |on ~10-minute scales, so a ratio across distant windows
+           |measures the drift, not the job. The full-machine run (local[32],
            |$nFull files) reports peak single-box throughput.
            |
            |Why N=1/4N=4 for the efficiency criterion: N=1 is the cleanest

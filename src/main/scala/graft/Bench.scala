@@ -150,7 +150,27 @@ object Bench {
             }.sorted
             s"serving_$name" -> times(reps / 2) // median
           }.toMap
-          dist ++ serving
+          // λτ pipeline + BATCHED blended search at α=0.9 (the
+          // reference's own blended bench config, base_index_bench
+          // α=0.9): per-set slack bands + one λ join for the whole batch
+          val lamDir = s"$dirBase/lam_cpu$cpus"
+          Stage.deleteRecursive(java.nio.file.Paths.get(lamDir))
+          val tl = System.nanoTime()
+          val lam = graft.lambda.LambdaPipeline.build(spark, index, lamDir)
+          val lamBuildSec = (System.nanoTime() - tl) / 1e9
+          def blTexts(n: Int) =
+            queryBatch(nFiles, n).map { case (qid, ts) => (qid, ts.mkString(" ")) }
+          lam.blendedTopKBatch(index, blTexts(512), 10, alpha = 0.9).count() // warm
+          val blN = 4096
+          val blSec = (1 to 2).map { _ =>
+            val t = System.nanoTime()
+            lam.blendedTopKBatch(index, blTexts(blN), 10, alpha = 0.9).count()
+            (System.nanoTime() - t) / 1e9
+          }.min
+          dist ++ serving ++ Map(
+            "lambda_build_sec" -> lamBuildSec,
+            s"blended_batch${blN}_sec" -> blSec,
+            s"blended_batch${blN}_qps" -> blN / blSec)
         }
       LevelResult(cpus, buildSec, nFiles / buildSec, batchSec, BatchSize.toDouble / batchSec, singles)
     } finally spark.stop()

@@ -171,11 +171,15 @@ object SparkEntry {
       graft.ops.TextStats.repetitionRatio(table(s, dir, "documents"), "text", "doc_id")),
 
     // -- similarity search over embeddings --------------------------------
+    // IVF runs over the MATERIALIZED cluster-partitioned layout: nprobe
+    // selection = partition pruning at the parquet source (OpsSpec
+    // asserts PartitionFilters in the scan)
     "ann_ivf" -> ((s, dir) => {
       val items = embeddingItems(s, dir)
-      val ivf = graft.ops.Similarity.buildIvf(items, nlist = 16)
+      val ivfDir = s"/tmp/graft_ivf_${new java.io.File(dir).getName}_16"
+      val ivf = graft.ops.Similarity.materializeIvf(items, nlist = 16, ivfDir)
       val q = items.filter(_._1 == 0L).head()._2
-      graft.ops.Similarity.ivfTopK(items, ivf, q, 10, nprobe = 4)
+      graft.ops.Similarity.ivfTopKPruned(s, ivf.model, ivfDir, q, 10, nprobe = 4)
         .withColumn("cos", round(col("cos"), 6))
     }),
     "ann_lsh" -> ((s, dir) => {
@@ -235,12 +239,14 @@ object SparkEntry {
     }),
 
     // IVF with nprobe == nlist degenerates to exact brute force —
-    // SQL-oracle-checkable proof of the ANN machinery
+    // SQL-oracle-checkable proof of the ANN machinery (over the
+    // materialized partition-pruned layout)
     "ann_ivf_exact" -> ((s, dir) => {
       val items = embeddingItems(s, dir)
-      val ivf = graft.ops.Similarity.buildIvf(items, nlist = 8)
+      val ivfDir = s"/tmp/graft_ivf_${new java.io.File(dir).getName}_8"
+      val ivf = graft.ops.Similarity.materializeIvf(items, nlist = 8, ivfDir)
       val q = items.filter(_._1 == 0L).head()._2
-      graft.ops.Similarity.ivfTopK(items, ivf, q, 10, nprobe = 8)
+      graft.ops.Similarity.ivfTopKPruned(s, ivf.model, ivfDir, q, 10, nprobe = 8)
         .withColumn("cos", round(col("cos"), 6))
         .withColumnRenamed("id", "vec_id")
     }),
@@ -253,6 +259,14 @@ object SparkEntry {
       top.withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
         .select(col("rank"), col("doc_id"))
+    }),
+    // batched blended search at α=1: per-query ranks must equal the pure
+    // BM25 ranking (the batch serving path's rank-identity oracle)
+    "blended_batch_alpha1" -> ((s, dir) => {
+      val li = documentsLambda(s, dir)
+      li.blendedTopKBatch(documentsIndex(s, dir),
+          Seq(0 -> "spark query vector", 1 -> "stream merge window"), 10, alpha = 1.0)
+        .select(col("qid"), col("rank"), col("doc_id"))
     }),
     // full near-dedup pipeline: LSH candidates -> Jaccard verify -> keep set
     "near_dedup_keep" -> ((s, dir) =>
@@ -406,11 +420,14 @@ object SparkEntry {
       // identical CTEs to the BM25 oracle, but emit (rank, doc_id):
       // α=1 blending rescales scores by a positive constant, so ranks
       // must match the pure BM25 ranking exactly
-      val base = bm25OracleSql(Seq("spark", "query", "vector"), 10)
-      base.replace(
-        "SELECT doc_id, round(scored.score, 4) AS score FROM scored",
-        "SELECT CAST(row_number() OVER (ORDER BY scored.score DESC, doc_id ASC) AS INT) AS rank, doc_id FROM scored")
+      bm25RankOracleSql(Seq("spark", "query", "vector"), 10)
     },
+    "blended_batch_alpha1" ->
+      s"""SELECT 0 AS qid, rank, doc_id
+         |FROM (${bm25RankOracleSql(Seq("spark", "query", "vector"), 10)}) t0
+         |UNION ALL
+         |SELECT 1 AS qid, rank, doc_id
+         |FROM (${bm25RankOracleSql(Seq("stream", "merge", "window"), 10)}) t1""".stripMargin,
     // NOTE: the shingle oracles below (near_dedup_keep, shingle_jaccard,
     // minhash_lsh) enumerate shingle indexes via CROSS JOIN
     // generate_series(1, 4096) because DuckDB's generate_series cannot
@@ -680,6 +697,14 @@ object SparkEntry {
         |  GROUP BY e.vec_id)
         |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM pairs
         |ORDER BY pairs.dot / (sqrt(pairs.na) * sqrt(pairs.nb)) DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** Rank-emitting BM25 oracle (rank-identity gates): same CTEs, output
+    * (rank, doc_id).
+    */
+  def bm25RankOracleSql(qTerms: Seq[String], k: Int): String =
+    bm25OracleSql(qTerms, k).replace(
+      "SELECT doc_id, round(scored.score, 4) AS score FROM scored",
+      "SELECT CAST(row_number() OVER (ORDER BY scored.score DESC, doc_id ASC) AS INT) AS rank, doc_id FROM scored")
 
   /** DuckDB BM25 oracle: same formula, same tokenizer, same tie-break. */
   def bm25OracleSql(qTerms: Seq[String], k: Int): String = {

@@ -28,9 +28,10 @@ object IndexBuilder {
       bm25: BM25.Params = BM25.Params(),
       tokenizer: String = "code", // "code" | "simple"
       mergeBuckets: Int = 1) { // >1 → the posting merge commits per bucket (mid-merge resume)
-    // v2: posting lists carry encAvgdl (appendable-epoch bound safety)
+    // v3: termstats carries per-term ub (max idf-free partial) for tight
+    // a-priori query bounds; meta splits base stats from epoch stats
     def fingerprint: String =
-      s"v2;dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets"
+      s"v3;dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets"
   }
 
   /** Token stream (doc_id, term) under the configured tokenizer mode. */
@@ -101,6 +102,11 @@ object IndexBuilder {
         "nDocs" -> st.getLong(0).toString,
         "avgdl" -> st.getDouble(1).toString,
         "totalTokens" -> st.getLong(2).toString,
+        // immutable BASE-corpus stats: appends update nDocs/avgdl/
+        // totalTokens but derive them from these + per-epoch stats files,
+        // so a crashed append can never double-count (idempotent resume)
+        "nDocs0" -> st.getLong(0).toString,
+        "totalTokens0" -> st.getLong(2).toString,
         "docsPerShard" -> p.docsPerShard.toString,
         "numParts" -> p.numParts.toString,
         "k1" -> p.bm25.k1.toString,
@@ -164,21 +170,43 @@ object IndexBuilder {
     }
 
     // ---- stage 4: global term document frequencies --------------------
-    // fingerprint keyed on (base fp, total epochs) with the SAME recipe
-    // the append path uses, so base-resume and append don't ping-pong
-    // recomputes; after appends this stage covers every epoch's postings
-    val epochsNow = readMeta(s"$dir/meta.props").getOrElse("epochs", "1").toInt
+    // fingerprint keyed on (base fp, epochs, committed epoch fps) with
+    // the SAME recipe the append path uses, so base-resume and append
+    // don't ping-pong recomputes — and a crashed append retried with a
+    // DIFFERENT payload can never resume a stale termstats (the epoch fp
+    // chain changes). After appends this stage covers every epoch.
+    val metaT = readMeta(s"$dir/meta.props")
+    val epochsNow = metaT.getOrElse("epochs", "1").toInt
     Stage.run(s"$dir/termstats", "termstats",
-      Stage.fingerprintOf("termstats", fp, "epochs", epochsNow.toString)) {
+      Stage.fingerprintOf(Seq("termstats", fp, "epochs", epochsNow.toString) ++
+        (1 until epochsNow).map(e => metaT(s"fp_e$e")): _*)) {
       val paths = Seq(s"$dir/postings") ++
         (1 until epochsNow).map(e => s"$dir/epochs/e$e/postings")
-      spark.read.parquet(paths: _*)
-        .groupBy($"term").agg(sum($"df").as("df"))
-        .write.mode("overwrite").parquet(s"$dir/termstats")
+      writeTermStats(spark, paths, metaT("avgdl").toDouble, s"$dir/termstats")
       -1L
     }
 
     new InvertedIndex(spark, dir)
+  }
+
+  /** Global per-term stats over posting lists: df plus `ub`, the max
+    * idf-free BM25 partial any posting of the term can contribute at the
+    * LIVE avgdl (per-list maxPartial lifted by the safe boundFactor when
+    * the corpus avgdl grew past the list's encAvgdl). Σ_t idf·ub over a
+    * query's terms is a tight a-priori ceiling on its best possible BM25
+    * score — the bound that decides whether a blended-search slack can
+    * prune at all (LambdaIndex.blendedTopK).
+    */
+  private def writeTermStats(spark: SparkSession, paths: Seq[String],
+      avgdlNow: Double, out: String): Unit = {
+    import spark.implicits._
+    spark.read.parquet(paths: _*)
+      .groupBy($"term")
+      .agg(sum($"df").as("df"),
+        max($"maxPartial" *
+          when($"encAvgdl" > 0.0 && $"encAvgdl" < avgdlNow,
+            lit(avgdlNow) / $"encAvgdl").otherwise(lit(1.0))).as("ub"))
+      .write.mode("overwrite").parquet(out)
   }
 
   /** Append a new EPOCH of raw files to an existing index (the
@@ -221,8 +249,16 @@ object IndexBuilder {
     // between our commit and the stream's checkpoint commit)
     if ((1 until epoch).exists(e => meta0.get(s"fp_e$e").contains(appendFp)))
       return new InvertedIndex(spark, dir)
-    val baseDocs = meta0("nDocs").toLong
-    val baseToks = meta0("totalTokens").toLong
+    // Pre-append corpus stats are DERIVED (base + committed epochs'
+    // stats files), never read back from mutable global meta: a crash
+    // anywhere inside this append leaves the derivation unchanged, so a
+    // retry — even with a different payload fingerprint — recomputes the
+    // same baseline instead of double-counting the orphaned attempt.
+    val committed = (1 until epoch).map(e => readMeta(s"$dir/epochs/e$e/stats.props"))
+    val baseDocs = meta0.getOrElse("nDocs0", meta0("nDocs")).toLong +
+      committed.map(_("m").toLong).sum
+    val baseToks = meta0.getOrElse("totalTokens0", meta0("totalTokens")).toLong +
+      committed.map(_("toks").toLong).sum
     val eDir = s"$dir/epochs/e$epoch"
     Files.createDirectories(Paths.get(eDir))
     val fp = Stage.fingerprintOf(appendFp, p.fingerprint, meta0("fingerprint"), s"epoch=$epoch")
@@ -243,7 +279,11 @@ object IndexBuilder {
       -1L
     }
 
-    // ---- stage 2b: doclens + corpus-stat accumulation -------------------
+    // ---- stage 2b: doclens + PER-EPOCH stats ----------------------------
+    // The stage writes only epoch-scoped artifacts (doclens + the
+    // epoch's stats.props); global meta is NOT touched inside any stage
+    // — it is derived and committed once, after every stage succeeded,
+    // so the accumulation is recomputable and idempotent under resume.
     Stage.run(s"$eDir/doclens", s"doclens/e$epoch", fp) {
       val dl = spark.read.parquet(s"$eDir/termfreq")
         .groupBy($"doc_id").agg(sum($"tf").as("dl"))
@@ -255,18 +295,14 @@ object IndexBuilder {
       val (m, toks) = (st.getLong(0), st.getLong(1))
       require(st.getLong(2) == baseDocs && st.getLong(3) == baseDocs + m - 1,
         s"appended ids must be contiguous from $baseDocs; got [${st.getLong(2)}, ${st.getLong(3)}] for $m docs")
-      val nDocs = baseDocs + m
-      val totalTokens = baseToks + toks
-      val newAvgdl = totalTokens.toDouble / nDocs
-      writeMeta(s"$dir/meta.props", meta0 ++ Map(
-        "nDocs" -> nDocs.toString,
-        "avgdl" -> newAvgdl.toString,
-        "totalTokens" -> totalTokens.toString,
-        s"avgdl_e$epoch" -> newAvgdl.toString))
+      writeMeta(s"$eDir/stats.props", Map("m" -> m.toString, "toks" -> toks.toString))
       m
     }
-    val metaNow = readMeta(s"$dir/meta.props")
-    val epochAvgdl = metaNow(s"avgdl_e$epoch").toDouble
+    val eStats = readMeta(s"$eDir/stats.props")
+    val (m, toks) = (eStats("m").toLong, eStats("toks").toLong)
+    val nDocsNow = baseDocs + m
+    val totalToksNow = baseToks + toks
+    val epochAvgdl = totalToksNow.toDouble / nDocsNow
 
     // ---- stage 3: the epoch's compressed posting lists ------------------
     // (new ids ⇒ new shard range; existing lists untouched; same typed
@@ -288,19 +324,27 @@ object IndexBuilder {
       -1L
     }
 
-    // ---- stage 4: GLOBAL termstats across all epochs + commit epoch ----
+    // ---- stage 4: GLOBAL termstats across all epochs --------------------
+    // fp chain includes every committed epoch fp AND this append's fp —
+    // same recipe as buildStages, and a different-payload retry of a
+    // crashed append can never skip into stale termstats
     Stage.run(s"$dir/termstats", "termstats",
-      Stage.fingerprintOf("termstats", meta0("fingerprint"), "epochs", (epoch + 1).toString)) {
+      Stage.fingerprintOf(Seq("termstats", meta0("fingerprint"), "epochs",
+        (epoch + 1).toString) ++ (1 until epoch).map(e => meta0(s"fp_e$e")) :+
+        appendFp: _*)) {
       val paths = Seq(s"$dir/postings") ++
         (1 to epoch).map(e => s"$dir/epochs/e$e/postings")
-      spark.read.parquet(paths: _*)
-        .groupBy($"term").agg(sum($"df").as("df"))
-        .write.mode("overwrite").parquet(s"$dir/termstats")
+      writeTermStats(spark, paths, epochAvgdl, s"$dir/termstats")
       -1L
     }
+    // ---- commit: global meta derived from base + committed epochs ------
     writeMeta(s"$dir/meta.props",
-      readMeta(s"$dir/meta.props") +
-        ("epochs" -> (epoch + 1).toString) + (s"fp_e$epoch" -> appendFp))
+      readMeta(s"$dir/meta.props") ++ Map(
+        "nDocs" -> nDocsNow.toString,
+        "avgdl" -> epochAvgdl.toString,
+        "totalTokens" -> totalToksNow.toString,
+        "epochs" -> (epoch + 1).toString,
+        s"fp_e$epoch" -> appendFp))
     new InvertedIndex(spark, dir)
   }
 
@@ -342,31 +386,39 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
 
   def docs: DataFrame = spark.read.parquet(epochPaths("docs"): _*)
 
-  /** Per-handle idf memo: repeated queries on the same terms skip the
-    * termstats job entirely (one extra Spark job per query otherwise).
-    * `None` records "term absent from the index" so misses don't
-    * re-query either. At 10¹²-doc scale the FULL termstats table is not
-    * collectable, but a serving process's working set of query terms is.
+  /** Per-handle term-stat memo: repeated queries on the same terms skip
+    * the termstats job entirely (one extra Spark job per query
+    * otherwise). `None` records "term absent from the index" so misses
+    * don't re-query either. At 10¹²-doc scale the FULL termstats table
+    * is not collectable, but a serving process's working set of query
+    * terms is. Values are (idf, ub): idf is the BM25 weight, ub the max
+    * idf-free partial any posting of the term can contribute (from the
+    * termstats build — see IndexBuilder.writeTermStats).
     */
-  @transient private lazy val idfCache =
-    new scala.collection.concurrent.TrieMap[String, Option[Double]]()
+  @transient private lazy val termCache =
+    new scala.collection.concurrent.TrieMap[String, Option[(Double, Double)]]()
 
-  /** Global per-term idf map for a query (tiny collect of only the
-    * not-yet-cached terms; filter pushes to the termstats parquet scan).
+  /** (idf, ub) per query term present in the index (tiny collect of only
+    * the not-yet-cached terms; filter pushes to the termstats scan).
     */
-  def idfFor(qTerms: Seq[String]): Map[String, Double] = {
+  def termInfo(qTerms: Seq[String]): Map[String, (Double, Double)] = {
     val distinct = qTerms.distinct
-    val missing = distinct.filterNot(idfCache.contains)
+    val missing = distinct.filterNot(termCache.contains)
     if (missing.nonEmpty) {
       val n = nDocs.toDouble
       val found = termStats.filter($"term".isin(missing: _*))
         .collect()
-        .map(r => r.getString(0) -> BM25.idf(n, r.getLong(1).toDouble))
+        .map(r => r.getString(0) ->
+          (BM25.idf(n, r.getLong(1).toDouble), r.getDouble(2)))
         .toMap
-      missing.foreach(t => idfCache.put(t, found.get(t)))
+      missing.foreach(t => termCache.put(t, found.get(t)))
     }
-    distinct.flatMap(t => idfCache(t).map(t -> _)).toMap
+    distinct.flatMap(t => termCache(t).map(t -> _)).toMap
   }
+
+  /** Global per-term idf map for a query. */
+  def idfFor(qTerms: Seq[String]): Map[String, Double] =
+    termInfo(qTerms).map { case (t, (i, _)) => t -> i }
 
   /** Distributed block-max WAND top-k: per doc-shard tasks run exact
     * local WAND; TakeOrderedAndProject merges shard top-ks (per-partition
@@ -418,13 +470,18 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
       .filter($"term".isin(allTerms: _*))
       .groupByKey(_.shard)
       .flatMapGroups { (_, it) =>
-        // decode each (term, shard) list ONCE; all sets share the decoded
+        // decode each posting list ONCE; all sets share the decoded
         // arrays via O(1) cursors — decode bandwidth no longer scales
-        // with batch size
-        val byTerm: Map[String, DecodedList] =
-          it.map(pl => pl.term -> DecodedList.from(pl, p, ad)).toMap
+        // with batch size. Lists group into ARRAYS per term: after an
+        // epoch append whose base size is not a multiple of
+        // docsPerShard, the boundary doc-shard holds TWO lists for the
+        // same (term, shard) — one base, one epoch — and a .toMap here
+        // would silently drop one, never scoring its docs.
+        val byTerm: Map[String, Array[DecodedList]] = decodeByTerm(it, p, ad)
         setList.iterator.flatMap { case (sid, ts) =>
-          val cursors = ts.flatMap(byTerm.get).map(dl => new DecodedCursor(dl, idf(dl.term)))
+          val cursors = ts.iterator
+            .flatMap(t => byTerm.getOrElse(t, Array.empty[DecodedList]))
+            .map(dl => new DecodedCursor(dl, idf(dl.term))).toSeq
           if (cursors.isEmpty) Iterator.empty
           else Wand.topK(cursors, k).iterator.map(h => (sid, h.docId, h.score))
         }
@@ -438,6 +495,46 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
     val qMap = qNorm.map { case (qid, ts) => (qid, setOf(ts)) }.toDF("qid", "set_id")
     setTop.join(broadcast(qMap), "set_id")
       .select($"qid", $"doc_id", $"score", $"rank")
+  }
+
+  /** Decode one shard's posting lists once, grouped by term (one ARRAY
+    * per term — same-(term, shard) duplicates from epoch appends each
+    * keep their list; docId ranges are disjoint so one cursor per list
+    * is exact).
+    */
+  private def decodeByTerm(it: Iterator[PostingList], p: BM25.Params,
+      ad: Double): Map[String, Array[DecodedList]] =
+    it.toSeq.groupBy(_.term).map { case (t, pls) =>
+      t -> pls.map(pl => DecodedList.from(pl, p, ad)).toArray
+    }
+
+  /** Batched bound-safe candidate bands (the blended-batch analog of
+    * wandTopKBatch): for every canonical (set_id, terms, slack) the
+    * per-doc-shard WAND-with-slack band runs over decode-once lists.
+    * Returns (set_id, doc_id, bm25) with exact raw scores. Per-shard
+    * band size is bounded by docsPerShard, so the output stays a
+    * DISTRIBUTED dataset of ≤ nDocs rows — nothing is collected.
+    */
+  def candidatesBatch(sets: Seq[(Int, Seq[String], Double)], k: Int): DataFrame = {
+    val allTerms = sets.flatMap(_._2).distinct
+    val idf = idfFor(allTerms)
+    val p = bm25
+    val ad = avgdl
+    postings
+      .filter($"term".isin(allTerms: _*))
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val byTerm = decodeByTerm(it, p, ad)
+        sets.iterator.flatMap { case (sid, ts, slack) =>
+          val cursors = ts.iterator
+            .flatMap(t => byTerm.getOrElse(t, Array.empty[DecodedList]))
+            .map(dl => new DecodedCursor(dl, idf(dl.term))).toSeq
+          if (cursors.isEmpty) Iterator.empty
+          else Wand.candidatesWithSlack(cursors, k, slack).iterator
+            .map(h => (sid, h.docId, h.score))
+        }
+      }
+      .toDF("set_id", "doc_id", "bm25")
   }
 
   /** Bound-safe candidate generation for blended re-ranking: per

@@ -130,9 +130,16 @@ object DenseLambda {
     val semanticTop1 = scored.orderBy(col("cos").desc, col("id").asc).limit(1).select("id")
     val highSemantic = scored.filter(col("cos") > 0.9999).select("id")
     val candidates = lambdaTopK.union(semanticTop1).union(highSemantic).distinct()
-    scored.join(candidates, "id")
+    // the union reuses `scored` four times — cache for the duration of
+    // the top-k, then UNPERSIST (repeated searches must not leak cached
+    // partitions); the k-row result is materialized eagerly so the
+    // cache can be dropped before returning
+    val out = scored.join(candidates, "id")
       .select(col("id"), col("score"))
       .orderBy(col("score").desc, col("id").asc).limit(k)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    scored.unpersist()
+    out.toDF("id", "score")
   }
 
   /** Row-mutation ops with λ recompute (add_items / mul_items /

@@ -355,15 +355,18 @@ object EnergyMaps {
     import spark.implicits._
     val lq = queryLambda(q, built)
     val bq = spark.sparkContext.broadcast(q)
-    val bCsr = spark.sparkContext.broadcast(built.glEnergy)
     val bSig = spark.sparkContext.broadcast(signals)
-    val mode = built.tau
-    val scored = items.map { case (id, v) =>
-      val li = syntheticLambdaPrefix(v, bCsr.value, TauMode.selectTau(v, mode))
+    // per-item λ comes from the BUILT λ table (one join on id), not a
+    // per-query recompute of the synthetic-λ pass over every vector —
+    // same deterministic values, one scan of the λ table in the plan
+    val dirich = items.map { case (id, v) =>
       val diff = bq.value.zip(v).map { case (a, b) => a - b }
-      val dist = wLambda * math.abs(lq - li) + wDirichlet * projectedDirichlet(diff, bSig.value)
-      (id, -dist)
-    }.toDF("id", "score")
+      (id, projectedDirichlet(diff, bSig.value))
+    }.toDF("id", "dirich")
+    val scored = dirich.join(built.lambdas, "id")
+      .withColumn("score",
+        -(lit(wLambda) * abs(lit(lq) - col("lambda")) + lit(wDirichlet) * col("dirich")))
+      .select(col("id"), col("score"))
     scored.orderBy(col("score").desc, col("id").asc).limit(k)
   }
 }

@@ -233,34 +233,33 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
     val qTerms = fn(qText).toSeq
     val qCounts = qTerms.groupBy(identity).map { case (t, xs) => t -> xs.size }
     val lq = queryLambda(qCounts)
-    val idf = index.idfFor(qTerms.distinct)
-    val ubNorm = idf.values.map(_ * (index.bm25.k1 + 1.0)).sum.max(1e-12)
+    val terms = qTerms.distinct
+    val info = index.termInfo(terms)
     // Candidate generation is bound-safe block-max WAND, NOT exhaustive
-    // decode-and-score: the λ component of the blend is bounded by
-    // (1−α)·1, so WAND pruning stays exact with the threshold deflated
-    // by that ceiling — slack in raw-BM25 units = (1−α)/α·ubNorm
-    // (because score = α·bm25/ubNorm + λpart). λ is then joined ONLY for
-    // the surviving candidates. α = 0 has no BM25 signal to prune on →
-    // the reference's full-scan semantics (core.rs:760-798) via
-    // scoreAllMatching.
-    val (bm25All, lamSrc) =
-      if (alpha <= 0.0) (index.scoreAllMatching(qTerms.distinct), lambdas)
-      else {
-        val cand = index
-          .wandCandidates(qTerms.distinct, k, (1.0 - alpha) / alpha * ubNorm)
-          .collect().map(r => (r.getLong(0), r.getDouble(1)))
-        // survivors are ≈ shards·k plus the slack band — collect them and
-        // push an In(doc_id) filter into the λ scan (row-group pruning)
-        // instead of shuffling the FULL λ table through a join; fall back
-        // to the plain join if a near-0 α ever produces a huge band
-        val lam =
-          if (cand.length <= 8192)
-            lambdas.filter(col("doc_id").isin(cand.map(c => Long.box(c._1)).toSeq: _*))
-          else lambdas
-        (cand.toSeq.toDF("doc_id", "bm25"), lam)
-      }
-    val scored = bm25All
-      .join(lamSrc, Seq("doc_id"), "left")
+    // decode-and-score, and the band stays a DISTRIBUTED dataset — λ is
+    // joined on doc_id (per-shard band ≤ docsPerShard rows, so AQE
+    // broadcasts the band side; at cluster scale the λ table shares the
+    // doc-shard layout, making this a co-partitioned join). Nothing is
+    // ever collected to the driver.
+    //
+    // Slack math: score = α·bm25/ubNorm + (1−α)·prox with prox ∈ [0,1],
+    // so in raw-BM25 units the band needs slack = (1−α)/α·ubNorm below
+    // the REALIZED per-shard WAND θ (Wand.candidatesWithSlack prunes
+    // against its running heap threshold). The slack is CAPPED at
+    // tightUb = Σ_t idf·ub_t — the query's max achievable BM25 from
+    // per-term posting bounds (termstats.ub). θ ≤ tightUb always, so at
+    // the cap θ − slack ≤ 0 and the band is exactly every matching doc
+    // with its exact score: the mid-/low-α full-scan regime falls out of
+    // the same distributed path instead of a driver-side fallback (the
+    // reference's full scan, core.rs:760-798, restricted to matching
+    // docs — documented divergence).
+    val ubNorm = info.values.map(_._1 * (index.bm25.k1 + 1.0)).sum.max(1e-12)
+    val tightUb = info.values.map { case (i, u) => i * u }.sum
+    val slack =
+      if (alpha <= 0.0) tightUb
+      else math.min((1.0 - alpha) / alpha * ubNorm, tightUb)
+    val scored = index.wandCandidates(terms, k, slack)
+      .join(lambdas, Seq("doc_id"), "left")
       .na.fill(0.0, Seq("lambda"))
       .withColumn("score",
         lit(alpha) * (col("bm25") / lit(ubNorm)) +
@@ -268,6 +267,76 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
       .select(col("doc_id"), col("score"))
     val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
     if (roundTo >= 0) top.withColumn("score", round(col("score"), roundTo)) else top
+  }
+
+  /** Batched blended top-k: MANY blended queries in ONE Spark job,
+    * reusing wandTopKBatch's machinery (canonicalized + deduped term
+    * sets, decode-once per (term, shard) list) with per-set slack bands
+    * (InvertedIndex.candidatesBatch), one distributed λ join for the
+    * whole batch, and a per-query window rank. The serving-tier shape:
+    * the reference's own headline bench is batch
+    * (/root/reference/benches/index_compute_bench.rs:180-320).
+    *
+    * Returns (qid, doc_id, score, rank) with rank ≤ k per qid, ordered
+    * (score DESC, doc_id ASC) within each query. α=1 ranks ≡ pure BM25
+    * per query.
+    */
+  def blendedTopKBatch(index: InvertedIndex, queries: Seq[(Int, String)],
+      k: Int, alpha: Double): DataFrame = {
+    import spark.implicits._
+    val tokMode = index.meta.getOrElse("tokenizer", "code")
+    val fn: String => Array[String] =
+      if (tokMode == "simple") CodeTokenizer.simpleTokens else CodeTokenizer.codeTokens
+    val prep = queries.map { case (qid, text) =>
+      val ts = fn(text).toSeq
+      val counts = ts.groupBy(identity).map { case (t, xs) => t -> xs.size }
+      (qid, ts.distinct.sorted, queryLambda(counts))
+    }
+    val info = index.termInfo(prep.flatMap(_._2).distinct)
+    val k1p1 = index.bm25.k1 + 1.0
+    // canonical query = (indexed term set, λq): real batches repeat hot
+    // queries; WAND bands AND the ranking run once per canonical, the
+    // per-qid fan-out joins only the k ranked rows at the very end
+    val qNorm = prep.map { case (qid, ts, lqv) => (qid, ts.filter(info.contains), lqv) }
+    val canonOf: Map[(Seq[String], Double), Int] =
+      qNorm.map { case (_, ts, lqv) => (ts, lqv) }.distinct.zipWithIndex.toMap
+    def ubNormOf(ts: Seq[String]): Double = ts.map(info(_)._1 * k1p1).sum.max(1e-12)
+    val sets: Seq[(Int, Seq[String], Double)] = canonOf.toSeq.map { case ((ts, _), cid) =>
+      val tightUb = ts.map(t => info(t)._1 * info(t)._2).sum
+      val slack =
+        if (alpha <= 0.0) tightUb
+        else math.min((1.0 - alpha) / alpha * ubNormOf(ts), tightUb)
+      (cid, ts, slack)
+    }.sortBy(_._1)
+    val canonMeta = canonOf.toSeq
+      .map { case ((ts, lqv), cid) => (cid, lqv, ubNormOf(ts)) }
+      .toDF("set_id", "lq", "ub_norm")
+    val qMap = qNorm
+      .map { case (qid, ts, lqv) => (qid, canonOf((ts, lqv))) }
+      .toDF("qid", "set_id")
+    // per-canonical top-k via a MAP-SIDE-combining typed aggregator
+    // (graft.search.TopKAgg) — a Window + row_number would full-sort-
+    // shuffle the whole slack band (10⁷+ rows at mid-α), the measured
+    // bottleneck; partial heaps ship ≤ tasks × canonicals × k rows
+    val agg = new graft.search.TopKAgg(k)
+    val ranked = index.candidatesBatch(sets, k)
+      .join(lambdas, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("lambda"))
+      .join(broadcast(canonMeta), "set_id")
+      .withColumn("score",
+        lit(alpha) * (col("bm25") / col("ub_norm")) +
+          lit(1.0 - alpha) * (lit(1.0) - least(abs(col("lq") - col("lambda")), lit(1.0))))
+      .select(col("set_id"), col("doc_id"), col("score"))
+      .as[(Int, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(v => graft.search.ScoredDoc(v._2, v._3))
+      .agg(agg.toColumn)
+      .flatMap { case (cid, top) =>
+        top.iterator.zipWithIndex.map { case (h, i) => (cid, h.docId, h.score, i + 1) }
+      }
+      .toDF("set_id", "doc_id", "score", "rank")
+    ranked.join(broadcast(qMap), "set_id")
+      .select(col("qid"), col("doc_id"), col("score"), col("rank"))
   }
 
   /** Register the λτ aggregation as a SQL-callable UDAF (SURVEY.md §4

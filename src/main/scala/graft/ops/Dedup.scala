@@ -103,25 +103,32 @@ object Dedup {
 
   /** 64-bit SimHash as a '0'/'1' bit-string (portable: bits come from
     * md5(term) hex, weights are integer tf — exact in any engine).
+    *
+    * All 64 bit sums come from ONE aggregate over the tf table (64 sum
+    * columns, the bit selector folded to per-bp constants at plan time):
+    * map-side partial aggregation collapses each task's rows to a single
+    * 64-wide signature before the shuffle. The former
+    * crossJoin(range(64)) expanded the tf table 64× through a
+    * BroadcastNestedLoopJoin ahead of the aggregation — at 100 TB that
+    * is 64× the materialization for the same result.
     */
   def simhash64(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokenArray(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", md5(col("term")))
     val hexmap = "0123456789abcdef"
-    val bits = tf
-      .crossJoin(spark(tf).range(0, 64).toDF("bp"))
-      // floor() everywhere: DuckDB CAST(double AS INT) rounds while Spark
-      // truncates — explicit floor keeps the oracle bit-identical
-      .withColumn("hexch", substring(md5(col("term")), floor(col("bp") / 4).cast("int") + 1, lit(1)))
-      .withColumn("hexval", instr(lit(hexmap), col("hexch")) - 1)
-      .withColumn("bit",
-        pmod(floor(col("hexval") / pow(lit(2.0), lit(3) - pmod(col("bp"), lit(4)))).cast("int"), lit(2)))
-      .withColumn("v", when(col("bit") === 1, col("tf")).otherwise(-col("tf")))
-    bits.groupBy(col("doc_id"), col("bp")).agg(sum(col("v")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("bp"), col("s")))),
-        x => when(x.getField("s") > 0, "1").otherwise("0")), "").as("simhash"))
+    // bit bp of the 64-bit prefix of md5: hex char bp/4, bit 3 − bp%4
+    def bitSum(bp: Int): Column = {
+      val hexval = instr(lit(hexmap), substring(col("h"), bp / 4 + 1, 1)) - 1
+      val bit = pmod(floor(hexval / math.pow(2.0, 3 - bp % 4)).cast("int"), lit(2))
+      sum(when(bit === 1, col("tf")).otherwise(-col("tf"))).as(s"s$bp")
+    }
+    tf.groupBy(col("doc_id"))
+      .agg(bitSum(0), (1 until 64).map(bitSum): _*)
+      .select(col("doc_id"),
+        concat((0 until 64).map(bp =>
+          when(col(s"s$bp") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
   /** Full near-dedup pipeline: MinHash-LSH candidates → exact Jaccard
@@ -169,6 +176,4 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select(col("v1"), col("v2"), round(col("cos"), roundTo).as("cos"))
   }
-
-  private def spark(df: DataFrame) = df.sparkSession
 }

@@ -48,6 +48,43 @@ object Similarity {
       .orderBy(col("cos").desc, col("id").asc).limit(k)
   }
 
+  /** Materialize the IVF index as a CLUSTER-PARTITIONED parquet layout:
+    * one `cluster=<c>/` partition directory per centroid. This is the
+    * 100 TB shape — nprobe selection becomes PARTITION PRUNING at the
+    * source (the scan's PartitionFilters carry `cluster IN (…)`), so a
+    * query reads only nprobe/nlist of the data from storage instead of
+    * filtering a joined assignment table at runtime.
+    */
+  def materializeIvf(items: Dataset[(Long, Array[Double])], nlist: Int,
+      dir: String, seed: Long = 42L, sampleSize: Int = 2000): IvfIndex = {
+    val ivf = buildIvf(items, nlist, seed, sampleSize)
+    items.toDF("id", "vec")
+      .join(ivf.assigned, "id")
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    ivf
+  }
+
+  /** IVF query over the materialized layout: only the `nprobe` nearest
+    * clusters' PARTITIONS are read (partition pruning, not a runtime
+    * filter over the full table).
+    */
+  def ivfTopKPruned(spark: SparkSession, model: SeededKMeans.Model, dir: String,
+      q: Array[Double], k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val byDist = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, SeededKMeans.sqDist(q, c)) }
+      .sortBy { case (i, d) => (d, i) }
+      .take(nprobe).map(_._1).toSeq
+    val bq = spark.sparkContext.broadcast(q)
+    spark.read.parquet(dir)
+      .filter(col("cluster").isin(byDist: _*))
+      .select(col("id"), col("vec"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, GraphBuilder.cosine(bq.value, v)) }
+      .toDF("id", "cos")
+      .orderBy(col("cos").desc, col("id").asc).limit(k)
+  }
+
   // ---- random-hyperplane LSH ------------------------------------------
 
   /** Seeded Gaussian hyperplanes: nPlanes × dim, regenerated from the

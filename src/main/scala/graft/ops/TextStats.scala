@@ -134,8 +134,18 @@ object TextStats {
     * Guarantee (the property the spec asserts): two documents sharing a
     * token run of length ≥ w + k − 1 share at least one fingerprint.
     * Not SQL-expressible — rows-only gate.
+    *
+    * [[fingerprint]] emits the harness-friendly EXPLODED shape
+    * (doc_id, fingerprint) — one row per selected hash (an array column
+    * crashes column-hash comparators); [[fingerprintSets]] keeps the
+    * per-doc sorted array for set-algebra callers.
     */
   def fingerprint(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, w: Int = 4): DataFrame =
+    fingerprintSets(docs, textCol, idCol, k, w)
+      .select(col("doc_id"), explode(col("fingerprints")).as("fingerprint"))
+
+  def fingerprintSets(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

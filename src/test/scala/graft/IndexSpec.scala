@@ -147,6 +147,62 @@ class IndexSpec extends AnyFunSuite {
     // committed-epoch idempotency: same payload fingerprint → no-op
     val again = IndexBuilder.append(spark, extra, s"$tmp/appidx", appendFp = "e1:600-900", p)
     assert(again.nDocs == 900 && again.epochs == 2)
+
+    // ---- batch path over the appended index ---------------------------
+    // base 600 docs at 128/shard → the boundary shard 4 holds lists from
+    // BOTH the base build (docs 512-599) and the epoch (600-639): the
+    // batch decode-once grouping must keep one cursor PER LIST (a
+    // term-keyed map would silently drop one and never score its docs)
+    val dupLists = appended.postings.groupBy(col("term"), col("shard"))
+      .count().filter(col("count") > 1).count()
+    assert(dupLists > 0, "precondition: boundary shard must hold same-(term,shard) lists")
+    val batch = appended.wandTopKBatch(queries.zipWithIndex.map(_.swap), 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    for ((q, qid) <- queries.zipWithIndex) {
+      val single = appended.wandTopK(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = batch.getOrElse(qid, Array.empty).sortBy(x => (-x._3, x._2))
+        .map(x => (x._2, x._3)).toSeq
+      assert(b.map(_._1) == single.map(_._1), s"appended batch qid=$qid: $b vs $single")
+      b.zip(single).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
+  test("append crash before the final meta commit: retry (same or different payload) is exact") {
+    import spark.implicits._
+    val p = IndexBuilder.Params(docsPerShard = 128L, numParts = 8)
+    val dir = s"$tmp/crashidx"
+    IndexBuilder.build(spark, CodeCorpus.generate(spark, 600L, 42L, 8), dir,
+      corpusFp = "synthetic:42:600", p)
+    val metaBefore = Files.readString(Paths.get(s"$dir/meta.props"))
+    val extra = spark.createDataset((600L until 900L).map(id => CodeCorpus.file(42L, id)))
+    val ix1 = IndexBuilder.append(spark, extra, dir, appendFp = "e1:crash", p)
+    val (wantN, wantAvg) = (ix1.nDocs, ix1.avgdl)
+    val top = ix1.wandTopK(Seq("get", "data"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // simulate the crash window: every stage (incl. termstats) committed,
+    // but the final global-meta commit never happened — global stats must
+    // be re-DERIVED, not re-accumulated (the r2 double-count hazard)
+    Files.writeString(Paths.get(s"$dir/meta.props"), metaBefore)
+    val ix2 = IndexBuilder.append(spark, extra, dir, appendFp = "e1:crash", p)
+    assert(ix2.nDocs == wantN && ix2.epochs == 2)
+    assert(math.abs(ix2.avgdl - wantAvg) < 1e-12)
+    val top2 = ix2.wandTopK(Seq("get", "data"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top2 == top)
+    // crash again, then retry with a DIFFERENT payload: the orphaned
+    // epoch attempt must be fully replaced (no wedged require, no
+    // double-counted docs, no stale termstats)
+    Files.writeString(Paths.get(s"$dir/meta.props"), metaBefore)
+    val extraB = spark.createDataset((0L until 250L).map(id => CodeCorpus.file(77L, id)))
+    val ix3 = IndexBuilder.append(spark, extraB, dir, appendFp = "e1:retryB", p)
+    assert(ix3.nDocs == 850 && ix3.epochs == 2)
+    for (q <- Seq(Seq("get"), Seq("data", "index", "merge"))) {
+      val w = ix3.wandTopK(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val e = ix3.exactTopK(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(w == e, s"q=$q after different-payload retry: $w vs $e")
+    }
   }
 
   test("append with LONGER docs (avgdl grows): stale block-max bounds stay safe") {

@@ -73,6 +73,91 @@ class LambdaPipelineSpec extends AnyFunSuite {
     assert(a1 != ids07, "expected λ re-ranking to differ from pure BM25")
   }
 
+  test("blendedTopK plan is fully distributed: no driver-collected band at any alpha") {
+    // r2's candidate path collected the WAND band to the driver and
+    // re-injected it as a LocalRelation/LocalTableScan — the scale
+    // killer. Every α regime must now keep the band a distributed
+    // dataset joined with the λ table.
+    for (alpha <- Seq(1.0, 0.7, 0.3, 0.0)) {
+      val top = li.blendedTopK(index, "get value data", 10, alpha)
+      val optimized = top.queryExecution.optimizedPlan.toString
+      val physical = top.queryExecution.executedPlan.toString
+      assert(!optimized.contains("LocalRelation"), s"alpha=$alpha:\n$optimized")
+      assert(!physical.contains("LocalTableScan"), s"alpha=$alpha:\n$physical")
+    }
+  }
+
+  test("blendedTopK ≡ brute-force blend over exhaustive scores (alpha 0.7 and 0.3)") {
+    val q = "get value data index"
+    val terms = graft.tokenize.CodeTokenizer.codeTokens(q).distinct.toSeq
+    val lam = li.lambdas.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bm25 = index.scoreAllMatching(terms).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val info = index.termInfo(terms)
+    val ubNorm = info.values.map(_._1 * (index.bm25.k1 + 1.0)).sum.max(1e-12)
+    for (alpha <- Seq(0.7, 0.3)) {
+      val lq = li.queryLambda(terms.map(_ -> 1).toMap)
+      val want = bm25.map { case (id, s) =>
+        val prox = 1.0 - math.min(math.abs(lq - lam.getOrElse(id, 0.0)), 1.0)
+        (id, alpha * s / ubNorm + (1 - alpha) * prox)
+      }.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+      val got = li.blendedTopK(index, q, 10, alpha).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == want.map(_._1), s"alpha=$alpha: $got vs $want")
+      got.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("blend pruning engages at high alpha; decode work never exceeds exhaustive") {
+    import graft.index.PostingStats
+    val q = "get value data index"
+    val terms = graft.tokenize.CodeTokenizer.codeTokens(q).distinct.toSeq
+    val total = index.scoreAllMatching(terms).count()
+    // the candidate BAND is the pruned quantity (at this corpus scale
+    // every list is a single block, so block-skip counters cannot move;
+    // band size is the resolution-independent witness)
+    def bandAt(alpha: Double): Long = {
+      val info = index.termInfo(terms)
+      val ubNorm = info.values.map(_._1 * (index.bm25.k1 + 1.0)).sum.max(1e-12)
+      val tightUb = info.values.map { case (i, u) => i * u }.sum
+      val slack = math.min((1.0 - alpha) / alpha * ubNorm, tightUb)
+      index.wandCandidates(terms, 10, slack).count()
+    }
+    val high = bandAt(0.95)
+    assert(high < total, s"no pruning at alpha=0.95: band $high of $total matching docs")
+    // α=0.7: slack caps at the query's max achievable BM25 → the band is
+    // every matching doc (the full-scan regime), still distributed
+    val mid = bandAt(0.7)
+    assert(mid <= total)
+    // decode work in the WAND band path never exceeds one exhaustive pass
+    def blocksOf(f: => Unit): Long = { PostingStats.reset(); f; PostingStats.decoded() }
+    val exhaustive = blocksOf(index.scoreAllMatching(terms).count())
+    val blended = blocksOf(li.blendedTopK(index, q, 10, alpha = 0.95).count())
+    assert(blended <= exhaustive, s"blended decoded more blocks: $blended vs $exhaustive")
+  }
+
+  test("blendedTopKBatch ≡ per-query blendedTopK at alpha 1.0 / 0.7 / 0.3") {
+    val queries = Seq(
+      0 -> "get value data",
+      1 -> "merge sort batch",
+      2 -> "lambda energy",
+      3 -> "zz_not_a_term_zz")
+    for (alpha <- Seq(1.0, 0.7, 0.3)) {
+      val batch = li.blendedTopKBatch(index, queries, 10, alpha).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .groupBy(_._1)
+      for ((qid, text) <- queries) {
+        val single = li.blendedTopK(index, text, 10, alpha).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val b = batch.getOrElse(qid, Array.empty).sortBy(_._4)
+          .map(x => (x._2, x._3)).toSeq
+        assert(b.map(_._1) == single.map(_._1), s"alpha=$alpha qid=$qid: $b vs $single")
+        b.zip(single).foreach { case ((_, x), (_, y)) =>
+          assert(math.abs(x - y) < 1e-9, s"alpha=$alpha qid=$qid") }
+      }
+    }
+  }
+
   test("range search is one-sided: everything with lambda >= lq - eps") {
     val lq = 0.5
     val eps = 0.1

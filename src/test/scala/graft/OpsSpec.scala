@@ -60,6 +60,12 @@ class OpsSpec extends AnyFunSuite {
       s"near-dup hamming ${ham(sh(1L), sh(3L))} !< unrelated ${ham(sh(1L), sh(5L))}")
   }
 
+  test("simhash64 is one aggregate — no crossJoin/cartesian row expansion") {
+    val plan = Dedup.simhash64(docs, "text", "doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"unexpected join in simhash plan:\n$plan")
+  }
+
   test("nearDedupKeep: drops larger ids of verified dups, keeps everything else") {
     val kept = Dedup.nearDedupKeep(docs, "text", "doc_id", n = 3, numHashes = 16,
       rowsPerBand = 4, minJ = 0.5).collect().map(_.getLong(0)).toSet
@@ -133,12 +139,25 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("fingerprint: dup docs share fingerprint sets, deterministic") {
-    def run() = TextStats.fingerprint(docs, "text", "doc_id")
+    def run() = TextStats.fingerprintSets(docs, "text", "doc_id")
       .collect().map(x => (x.getLong(0), x.getSeq[Long](1))).toMap
     val r = run()
     assert(r(1L) == r(2L)) // exact dups → identical sets
     assert(r(1L) != r(5L))
     assert(r == run())
+  }
+
+  test("fingerprint (exploded gate shape) ≡ fingerprintSets, scalar columns only") {
+    val sets = TextStats.fingerprintSets(docs, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1).toSet).toMap
+    val exploded = TextStats.fingerprint(docs, "text", "doc_id")
+    // no array-typed column survives (the r2 harness crash: a pandas
+    // comparator cannot hash numpy arrays)
+    assert(exploded.schema.fields.forall(f =>
+      !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    val got = exploded.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    assert(got == sets.filter(_._2.nonEmpty))
   }
 
   test("winnowing guarantee: shared run of ≥ w+k−1 tokens ⇒ shared fingerprint") {
@@ -152,7 +171,7 @@ class OpsSpec extends AnyFunSuite {
     }
     val df = pairs.flatMap { case (i1, t1, i2, t2) => Seq((i1, t1), (i2, t2)) }
       .toDF("doc_id", "text")
-    val fp = TextStats.fingerprint(df, "text", "doc_id", k, w)
+    val fp = TextStats.fingerprintSets(df, "text", "doc_id", k, w)
       .collect().map(x => (x.getLong(0), x.getSeq[Long](1).toSet)).toMap
     pairs.foreach { case (i1, _, i2, _) =>
       assert(fp(i1).intersect(fp(i2)).nonEmpty, s"no shared fingerprint for pair ($i1,$i2)")
@@ -180,6 +199,28 @@ class OpsSpec extends AnyFunSuite {
     val r = Similarity.ivfTopK(items, ivf, q0, 10, nprobe = 4)
       .collect().map(_.getLong(0)).toSeq
     assert(Similarity.recallAtK(r, exact) >= 0.5, s"recall too low: $r vs $exact")
+  }
+
+  test("materialized IVF layout: nprobe = PARTITION pruning at the source; exact at full probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val ivf = Similarity.materializeIvf(items, nlist = 8, dir)
+    // cluster=<c>/ partition dirs exist on disk
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cluster="))
+    assert(parts.length == ivf.model.k, s"expected ${ivf.model.k} partition dirs")
+    val pruned = Similarity.ivfTopKPruned(spark, ivf.model, dir, q0, 10, nprobe = 2)
+    // the nprobe selection must reach the scan as PartitionFilters over
+    // the cluster partition column (reads 2 of nlist directories), not a
+    // post-scan runtime filter
+    val scan = pruned.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cluster".r
+    assert(pf.findFirstIn(scan).isDefined, s"no cluster PartitionFilters in:\n$scan")
+    // full probe over the layout ≡ brute-force exact
+    val full = Similarity.ivfTopKPruned(spark, ivf.model, dir, q0, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
+    // pruned probes still rank correctly within what they scanned
+    val r = pruned.collect().map(_.getLong(0)).toSeq
+    assert(r.nonEmpty && Similarity.recallAtK(r, exact) >= 0.2)
   }
 
   test("LSH buckets: query's own bucket contains it; recall reasonable") {

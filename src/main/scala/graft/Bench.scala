@@ -167,7 +167,23 @@ object Bench {
             lam.blendedTopKBatch(index, blTexts(blN), 10, alpha = 0.9).count()
             (System.nanoTime() - t) / 1e9
           }.min
-          dist ++ serving ++ Map(
+          // blended SERVING tier (LocalBlended): ms-latency λ-aware
+          // top-k, comparable to the reference's in-process α=0.9
+          // criterion (8.65 ms top-3 over 150 items)
+          val lb = graft.search.LocalBlended.fromIndexes(index, lam)
+          val servingBlend = Seq(
+            "q1_common" -> "data",
+            "q3_multi" -> "merge segment filter").map { case (name, text) =>
+            lb.topK(text, 10, 0.9) // warm
+            val reps = 20
+            val times = (1 to reps).map { _ =>
+              val t = System.nanoTime()
+              lb.topK(text, 10, 0.9)
+              (System.nanoTime() - t) / 1e9
+            }.sorted
+            s"serving_blended_$name" -> times(reps / 2)
+          }.toMap
+          dist ++ serving ++ servingBlend ++ Map(
             "lambda_build_sec" -> lamBuildSec,
             s"blended_batch${blN}_sec" -> blSec,
             s"blended_batch${blN}_qps" -> blN / blSec)

@@ -28,10 +28,11 @@ object IndexBuilder {
       bm25: BM25.Params = BM25.Params(),
       tokenizer: String = "code", // "code" | "simple"
       mergeBuckets: Int = 1) { // >1 → the posting merge commits per bucket (mid-merge resume)
-    // v3: termstats carries per-term ub (max idf-free partial) for tight
-    // a-priori query bounds; meta splits base stats from epoch stats
+    // v4: termfreq is per-doc-aggregated with dl inline (no tokenize
+    // shuffle); termstats carries per-term ub (max idf-free partial) for
+    // tight a-priori query bounds; meta splits base from epoch stats
     def fingerprint: String =
-      s"v3;dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets"
+      s"v4;dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets"
   }
 
   /** Token stream (doc_id, term) under the configured tokenizer mode. */
@@ -41,6 +42,38 @@ object IndexBuilder {
     val fn: String => Array[String] =
       if (mode == "simple") CodeTokenizer.simpleTokens else CodeTokenizer.codeTokens
     docs.flatMap(d => fn(d.content).map(t => (d.docId, t))).toDF("doc_id", "term")
+  }
+
+  /** (doc_id, term, tf, dl) aggregated PER DOCUMENT inside the flatMap:
+    * a document is one row, so its term counts (and its length) complete
+    * in-task — no shuffle, no corpus-wide hash aggregation. The former
+    * token-explode + groupBy(doc_id, term) shuffled one row per TOKEN
+    * (~10⁸ rows per million docs) through the worst-scaling stage of the
+    * build (measured 1→4-core efficiency 0.66 vs 0.99 for the
+    * CPU-bound postings kernel — DRAM-bandwidth-bound); per-doc
+    * aggregation makes tokenization embarrassingly parallel, which is
+    * also the 100 TB shape (the only remaining build shuffles are the
+    * docId assignment and the (term, shard) posting merge). Carrying dl
+    * on every row also drops the tf⋈dl join from the postings stage.
+    */
+  def termFreqPerDoc(docs: Dataset[Doc], mode: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fn: String => Array[String] =
+      if (mode == "simple") CodeTokenizer.simpleTokens else CodeTokenizer.codeTokens
+    docs.flatMap { d =>
+      val toks = fn(d.content)
+      val dl = toks.length.toLong
+      val m = new java.util.LinkedHashMap[String, Long]() // first-occurrence order: deterministic
+      toks.foreach(t => m.merge(t, 1L, (a, b) => a + b))
+      val it = m.entrySet().iterator()
+      new Iterator[(Long, String, Long, Long)] {
+        def hasNext: Boolean = it.hasNext
+        def next(): (Long, String, Long, Long) = {
+          val e = it.next(); (d.docId, e.getKey, e.getValue, dl)
+        }
+      }
+    }.toDF("doc_id", "term", "tf", "dl")
   }
 
   /** Build from raw files: assigns deterministic docIds (stage 1), then
@@ -81,19 +114,22 @@ object IndexBuilder {
     def docs: Dataset[Doc] = spark.read.parquet(s"$dir/docs")
       .select("docId", "repo", "path", "commit", "lang", "content").as[Doc]
 
-    // ---- stage 2: term frequencies (tokenize ONCE; doclens and postings
-    // both derive from this artifact) ------------------------------------
+    // ---- stage 2: term frequencies (tokenize ONCE, aggregated per doc
+    // in-task — no shuffle; doclens and postings both derive from this
+    // artifact) ----------------------------------------------------------
     Stage.run(s"$dir/termfreq", "termfreq", fp) {
-      tokens(docs, p.tokenizer)
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      termFreqPerDoc(docs, p.tokenizer)
         .write.mode("overwrite").parquet(s"$dir/termfreq")
       -1L
     }
 
     // ---- stage 2b: doc lengths + corpus stats -------------------------
+    // dl repeats on every (doc, term) row; max ≡ the per-doc value, and
+    // map-side partial aggregation collapses each task to ~#docs rows
+    // before the (tiny) shuffle
     Stage.run(s"$dir/doclens", "doclens", fp) {
       val dl = spark.read.parquet(s"$dir/termfreq")
-        .groupBy($"doc_id").agg(sum($"tf").as("dl"))
+        .groupBy($"doc_id").agg(max($"dl").as("dl"))
       dl.write.mode("overwrite").parquet(s"$dir/doclens")
       val st = spark.read.parquet(s"$dir/doclens")
         .agg(count(lit(1)).cast("long").as("n"), avg($"dl").as("avgdl"), sum($"dl").as("toks"))
@@ -125,9 +161,8 @@ object IndexBuilder {
     // north rule's resumable-mid-merge contract; at 10¹²-file scale each
     // bucket is a restartable unit of the global sort-merge).
     def buildPostingsInto(outDir: String, bucket: Int, nBuckets: Int): Long = {
-      val tf = spark.read.parquet(s"$dir/termfreq")
-      val dl = spark.read.parquet(s"$dir/doclens")
-      val entries = tf.join(dl, "doc_id")
+      // termfreq rows carry dl inline — no tf⋈dl join before the merge
+      val entries = spark.read.parquet(s"$dir/termfreq")
         .select($"term", ($"doc_id" / lit(p.docsPerShard)).cast("int").as("shard"),
           $"doc_id".as("docId"), $"tf", $"dl")
         .filter(pmod($"shard", lit(nBuckets)) === bucket)
@@ -271,10 +306,9 @@ object IndexBuilder {
     def docs: Dataset[Doc] = spark.read.parquet(s"$eDir/docs")
       .select("docId", "repo", "path", "commit", "lang", "content").as[Doc]
 
-    // ---- stage 2: the epoch's term frequencies --------------------------
+    // ---- stage 2: the epoch's term frequencies (per-doc, no shuffle) ----
     Stage.run(s"$eDir/termfreq", s"termfreq/e$epoch", fp) {
-      tokens(docs, p.tokenizer)
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      termFreqPerDoc(docs, p.tokenizer)
         .write.mode("overwrite").parquet(s"$eDir/termfreq")
       -1L
     }
@@ -286,7 +320,7 @@ object IndexBuilder {
     // so the accumulation is recomputable and idempotent under resume.
     Stage.run(s"$eDir/doclens", s"doclens/e$epoch", fp) {
       val dl = spark.read.parquet(s"$eDir/termfreq")
-        .groupBy($"doc_id").agg(sum($"tf").as("dl"))
+        .groupBy($"doc_id").agg(max($"dl").as("dl"))
       dl.write.mode("overwrite").parquet(s"$eDir/doclens")
       val st = spark.read.parquet(s"$eDir/doclens")
         .agg(count(lit(1)).cast("long").as("n"), sum($"dl").as("toks"),
@@ -308,10 +342,8 @@ object IndexBuilder {
     // (new ids ⇒ new shard range; existing lists untouched; same typed
     // sort-merge aggregation as the base build)
     Stage.run(s"$eDir/postings", s"postings/e$epoch", fp) {
-      val tf = spark.read.parquet(s"$eDir/termfreq")
-      val dl = spark.read.parquet(s"$eDir/doclens")
       val agg = new PostingAgg(p.bm25, epochAvgdl)
-      tf.join(dl, "doc_id")
+      spark.read.parquet(s"$eDir/termfreq")
         .select($"term", ($"doc_id" / lit(p.docsPerShard)).cast("int").as("shard"),
           $"doc_id".as("docId"), $"tf", $"dl")
         .as[PostingEntry]

@@ -1,0 +1,102 @@
+package graft.search
+
+import graft.index.DecodedCursor
+
+/** In-memory BLENDED serving tier: the λ-aware analog of
+  * [[LocalSearcher]] — answers α·BM25̂ + (1−α)·λ-proximity top-k with no
+  * Spark job, directly comparable to the reference's in-process blended
+  * criterion numbers (/root/reference/benches/base_index_bench.json:
+  * 8.65 ms per α=0.9 top-3 query).
+  *
+  * A replica holds its shard range's pre-decoded posting lists (via the
+  * wrapped LocalSearcher) plus the SAME range's λ slice — per-doc λ for
+  * shard s covers docIds [s·docsPerShard, (s+1)·docsPerShard), so the
+  * λ slice is exactly the doc-shard layout the posting slice already
+  * follows. idf/ub statistics stay global, so replica results merge
+  * exactly (same argument as LocalSearcher.mergeTopK).
+  *
+  * Query path = the distributed LambdaIndex.blendedTopK semantics
+  * verbatim: slack = (1−α)/α·ubNorm capped at the query's max
+  * achievable BM25 (Σ idf·ub), per-shard Wand.candidatesWithSlack band,
+  * λ looked up per candidate (0.0 when absent — same as the
+  * distributed left-join + fill), blend, merge by (score DESC, docId
+  * ASC). Rank-identity to the distributed path is asserted in
+  * LambdaPipelineSpec.
+  */
+final class LocalBlended(
+    val searcher: LocalSearcher,
+    val lambdas: java.util.HashMap[Long, java.lang.Double],
+    val termUb: Map[String, Double],
+    val queryLambda: Map[String, Int] => Double,
+    val tokenize: String => Array[String]) extends Serializable {
+
+  def topK(qText: String, k: Int, alpha: Double): Array[Wand.Hit] = {
+    val toks = tokenize(qText)
+    val counts = toks.toSeq.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val lq = queryLambda(counts)
+    val terms = toks.distinct.filter(searcher.byTerm.contains).sorted
+    if (terms.isEmpty) return Array.empty
+    val idf = terms.map(t => t -> searcher.idf(t)).toMap
+    val k1p1 = searcher.params.k1 + 1.0
+    val ubNorm = math.max(terms.map(idf(_) * k1p1).sum, 1e-12)
+    val tightUb = terms.map(t => idf(t) * termUb.getOrElse(t, k1p1)).sum
+    val slack =
+      if (alpha <= 0.0) tightUb
+      else math.min((1.0 - alpha) / alpha * ubNorm, tightUb)
+    val byShard = terms.flatMap(t => searcher.byTerm(t)).groupBy(_.shard)
+    val heap = new scala.collection.mutable.PriorityQueue[Wand.Hit]()(
+      (a: Wand.Hit, b: Wand.Hit) => {
+        val c = java.lang.Double.compare(a.score, b.score)
+        if (c != 0) -c else java.lang.Long.compare(a.docId, b.docId)
+      })
+    byShard.toSeq.sortBy(_._1).foreach { case (_, lists) =>
+      val cursors = lists.sortBy(_.term)
+        .map(dl => new DecodedCursor(dl, idf(dl.term)))
+      Wand.candidatesWithSlack(cursors, k, slack).foreach { h =>
+        val lam = lambdas.get(h.docId)
+        val prox = 1.0 - math.min(math.abs(lq - (if (lam == null) 0.0 else lam.doubleValue())), 1.0)
+        val s = alpha * (h.score / ubNorm) + (1.0 - alpha) * prox
+        val hit = Wand.Hit(h.docId, s)
+        if (heap.size < k) heap.enqueue(hit)
+        else {
+          val w = heap.head
+          if (s > w.score || (s == w.score && h.docId < w.docId)) {
+            heap.dequeue(); heap.enqueue(hit)
+          }
+        }
+      }
+    }
+    heap.dequeueAll.reverse.toArray
+  }
+}
+
+object LocalBlended {
+
+  /** Collect a replica: posting lists + λ slice for [shardLo, shardHi]
+    * (two pushed-filter scans), global term stats, and the λ-index
+    * query-side closure (vocab + CSR already live on the driver in
+    * LambdaIndex). docsPerShard comes from the index meta so the λ
+    * slice matches the posting slice exactly.
+    */
+  def fromIndexes(index: graft.index.InvertedIndex,
+      lam: graft.lambda.LambdaIndex,
+      shardLo: Int = 0, shardHi: Int = Int.MaxValue): LocalBlended = {
+    import org.apache.spark.sql.functions.col
+    val searcher = LocalSearcher.fromIndex(index, shardLo, shardHi)
+    val dps = index.meta("docsPerShard").toLong
+    val lamMap = new java.util.HashMap[Long, java.lang.Double]()
+    val lamDf =
+      if (shardLo == 0 && shardHi == Int.MaxValue) lam.lambdas
+      else lam.lambdas.filter(
+        col("doc_id") >= shardLo.toLong * dps &&
+          col("doc_id") < (shardHi.toLong + 1L) * dps)
+    lamDf.collect().foreach(r => lamMap.put(r.getLong(0), r.getDouble(1)))
+    val ub = index.termStats.collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val tokMode = index.meta.getOrElse("tokenizer", "code")
+    val fn: String => Array[String] =
+      if (tokMode == "simple") graft.tokenize.CodeTokenizer.simpleTokens
+      else graft.tokenize.CodeTokenizer.codeTokens
+    new LocalBlended(searcher, lamMap, ub, lam.queryLambda, fn)
+  }
+}

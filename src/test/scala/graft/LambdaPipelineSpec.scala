@@ -158,6 +158,31 @@ class LambdaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LocalBlended serving ≡ distributed blendedTopK; half-range replicas merge exactly") {
+    val lb = graft.search.LocalBlended.fromIndexes(index, li)
+    for (alpha <- Seq(1.0, 0.9, 0.7); q <- Seq("get value data", "lambda energy")) {
+      val a = lb.topK(q, 10, alpha).map(h => (h.docId, h.score)).toSeq
+      val b = li.blendedTopK(index, q, 10, alpha).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a.map(_._1) == b.map(_._1), s"alpha=$alpha q=$q: $a vs $b")
+      a.zip(b).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // shard-scoped replicas (400 docs / 128 per shard → shards 0..3):
+    // merged half-range top-ks ≡ the full replica's — exact because per
+    // doc-shard bands are supersets of the global band restricted to
+    // that shard, and idf/ub/λq stats stay global
+    val lo = graft.search.LocalBlended.fromIndexes(index, li, 0, 1)
+    val hi = graft.search.LocalBlended.fromIndexes(index, li, 2, Int.MaxValue)
+    assert(!lo.lambdas.isEmpty && !hi.lambdas.isEmpty)
+    for (q <- Seq("get value data", "merge sort batch")) {
+      val merged = graft.search.LocalSearcher
+        .mergeTopK(Seq(lo.topK(q, 10, 0.9), hi.topK(q, 10, 0.9)), 10)
+        .map(h => (h.docId, h.score)).toSeq
+      val whole = lb.topK(q, 10, 0.9).map(h => (h.docId, h.score)).toSeq
+      assert(merged == whole, s"q=$q: $merged vs $whole")
+    }
+  }
+
   test("range search is one-sided: everything with lambda >= lq - eps") {
     val lq = 0.5
     val eps = 0.1

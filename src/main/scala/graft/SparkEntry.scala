@@ -189,6 +189,17 @@ object SparkEntry {
       graft.ops.Similarity.lshTopK(items, buckets, q, 10, nPlanes = 12)
         .withColumn("cos", round(col("cos"), 6))
     }),
+    // LSH with the Hamming ball at full radius covers every bucket —
+    // degenerates to exact brute force: SQL-oracle-checkable proof of
+    // the multi-probe machinery (the ann_ivf_exact pattern)
+    "ann_lsh_exact" -> ((s, dir) => {
+      val items = embeddingItems(s, dir)
+      val buckets = graft.ops.Similarity.lshBuckets(items, nPlanes = 8)
+      val q = items.filter(_._1 == 0L).head()._2
+      graft.ops.Similarity.lshTopK(items, buckets, q, 10, nPlanes = 8, maxHamming = 8)
+        .withColumn("cos", round(col("cos"), 6))
+        .withColumnRenamed("id", "vec_id")
+    }),
 
     // -- event-stream analytics (batch form of the streaming ops) --------
     "events_window" -> ((s, dir) =>
@@ -630,6 +641,7 @@ object SparkEntry {
         |FROM flagged GROUP BY user_id""".stripMargin,
     // embeddings are fixed 64-dim across all sf dirs
     "ann_ivf_exact" -> cosineTopKOracleSql,
+    "ann_lsh_exact" -> cosineTopKOracleSql,
     "cosine_topk" -> cosineTopKOracleSql,
     // byte-level multimodal oracle: decode() parses real PNG/WAV/AVI
     // headers; the oracle recomputes the dims the encoder derived from

@@ -405,6 +405,11 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
   private def epochPaths(sub: String): Seq[String] =
     Seq(s"$dir/$sub") ++ (1 until epochs).map(e => s"$dir/epochs/e$e/$sub")
 
+  /** Every epoch's termfreq directory (base + appended) — downstream
+    * pipelines (λτ) must cover appended docs too.
+    */
+  def termFreqPaths: Seq[String] = epochPaths("termfreq")
+
   def postings: Dataset[PostingList] =
     spark.read.parquet(epochPaths("postings"): _*)
       // explicit projection: a bucketed layout adds a bucket partition

@@ -59,7 +59,10 @@ object LambdaPipeline {
       cfg: Config = Config()): LambdaIndex = {
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
-    val fp = Stage.fingerprintOf(index.dir, cfg.fingerprint, index.meta("fingerprint"))
+    // fp includes the epoch count: appending a snapshot to the index
+    // invalidates staged λ artifacts (they must cover the new docs)
+    val fp = Stage.fingerprintOf(index.dir, cfg.fingerprint, index.meta("fingerprint"),
+      "epochs", index.epochs.toString)
 
     // ---- vocab: prune to broadcastable term-node set -------------------
     Stage.run(s"$dir/vocab", "vocab", fp) {
@@ -86,7 +89,10 @@ object LambdaPipeline {
       // exact regardless of shuffle order, so weights (and hence λ) are
       // bit-identical across rebuilds
       val vocabDf = spark.read.parquet(s"$dir/vocab")
-      val tf = spark.read.parquet(s"${index.dir}/termfreq")
+      // ALL epochs' termfreq (base + appended snapshots): λ must cover
+      // every doc the index serves, or appended docs silently blend
+      // with λ=0
+      val tf = spark.read.parquet(index.termFreqPaths: _*)
         .join(broadcast(vocabDf), "term")
         .select($"doc_id".as("docId"), $"termIdx", $"tf")
       val vdl = tf.groupBy($"docId").agg(sum($"tf").as("vdl"))

@@ -183,6 +183,41 @@ class LambdaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("λ pipeline covers appended epochs: every epoch doc gets a λ; blend stays exact") {
+    import spark.implicits._
+    val p = IndexBuilder.Params(docsPerShard = 128L, numParts = 6)
+    val t = Files.createTempDirectory("graft-lp-app").toString
+    val base = IndexBuilder.build(spark, CodeCorpus.generate(spark, 300L, 5L, 6),
+      s"$t/idx", corpusFp = "synthetic:5:300", p)
+    val li1 = LambdaPipeline.build(spark, base, s"$t/lam", cfg)
+    assert(li1.lambdas.count() == 300)
+    val extra = spark.createDataset((300L until 450L).map(id => CodeCorpus.file(5L, id)))
+    val appended = IndexBuilder.append(spark, extra, s"$t/idx", appendFp = "e1:300-450", p)
+    // the epoch bump invalidates the staged λ artifacts (fp carries the
+    // epoch count) and the rebuild covers base + epoch termfreq
+    val li2 = LambdaPipeline.build(spark, appended, s"$t/lam", cfg)
+    assert(li2.lambdas.count() == 450)
+    val ids = li2.lambdas.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((300L until 450L).forall(ids.contains), "appended docs missing λ")
+    // blended search over the appended index ≡ brute-force blend
+    val q = "get value data"
+    val terms = graft.tokenize.CodeTokenizer.codeTokens(q).distinct.toSeq
+    val lam = li2.lambdas.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val info = appended.termInfo(terms)
+    val ubNorm = info.values.map(_._1 * (appended.bm25.k1 + 1.0)).sum.max(1e-12)
+    val lq = li2.queryLambda(terms.map(_ -> 1).toMap)
+    val want = appended.scoreAllMatching(terms).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .map { case (id, s) =>
+        val prox = 1.0 - math.min(math.abs(lq - lam.getOrElse(id, 0.0)), 1.0)
+        (id, 0.7 * s / ubNorm + 0.3 * prox)
+      }.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    val got = li2.blendedTopK(appended, q, 10, alpha = 0.7).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == want.map(_._1), s"$got vs $want")
+    got.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+  }
+
   test("range search is one-sided: everything with lambda >= lq - eps") {
     val lq = 0.5
     val eps = 0.1

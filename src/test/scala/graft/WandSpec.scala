@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.search.{ScoredDoc, TopKAgg}
 import graft.index.{PostingCursor, PostingFormat}
 import graft.search.{BM25, Wand}
 import scala.util.Random
@@ -265,6 +266,28 @@ class WandSpec extends AnyFunSuite {
     assert(cand.nonEmpty)
     assert(prunedBlocks < exhaustiveBlocks / 10,
       s"pruning did not engage: $prunedBlocks vs $exhaustiveBlocks blocks")
+  }
+
+  test("TopKAgg ≡ sort.take(k) under arbitrary reduce/merge splits (100 random cases)") {
+    // the map-side-combining per-group top-k (blendedTopKBatch's rank
+    // stage) must be invariant to how rows split across partial buffers
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 100) {
+      val n = rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(12)
+      // duplicate scores on purpose: tie-break (score DESC, docId ASC)
+      val rows = Array.fill(n)(ScoredDoc(rnd.nextInt(50).toLong, rnd.nextInt(8) / 4.0))
+      val agg = new TopKAgg(k)
+      // random partitioning into partial buffers, then a random-order merge
+      val buffers = rows.grouped(1 + rnd.nextInt(8)).map { chunk =>
+        chunk.foldLeft(agg.zero)((b, r) => agg.reduce(b, r))
+      }.toSeq
+      val merged = rnd.shuffle(buffers).foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged).map(h => (h.docId, h.score)).toSeq
+      val want = rows.map(h => (h.docId, h.score)).sortBy { case (id, s) => (-s, id) }
+        .take(k).toSeq
+      assert(got == want, s"n=$n k=$k")
+    }
   }
 
   test("WAND handles terms absent from corpus and k > matches") {

@@ -271,6 +271,20 @@ object SparkEntry {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
         .select(col("rank"), col("doc_id"))
     }),
+    // blended search over an APPENDED index (λ pipeline covers base +
+    // epoch termfreq) at α=1: rank ≡ full-corpus BM25 — closes the
+    // epoch/λ/blend loop at the gate level
+    "blended_appended_alpha1" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val idx = documentsIndexAppended(s, dir)
+      val li = graft.lambda.LambdaPipeline.build(s, idx,
+        s"/tmp/graft_doclam_apnd_${new java.io.File(dir).getName}",
+        graft.lambda.LambdaPipeline.Config(vocabSize = 256, maxClusters = 16, seed = 42L))
+      li.blendedTopK(idx, "spark merge window", 10, alpha = 1.0)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("rank"), col("doc_id"))
+    }),
     // batched blended search at α=1: per-query ranks must equal the pure
     // BM25 ranking (the batch serving path's rank-identity oracle)
     "blended_batch_alpha1" -> ((s, dir) => {
@@ -427,6 +441,7 @@ object SparkEntry {
     "bm25_topk" -> bm25OracleSql(Seq("spark", "query", "vector"), 10),
     "wand_topk" -> bm25OracleSql(Seq("stream", "merge", "window"), 10),
     "wand_topk_appended" -> bm25OracleSql(Seq("spark", "merge", "window"), 10),
+    "blended_appended_alpha1" -> bm25RankOracleSql(Seq("spark", "merge", "window"), 10),
     "blended_alpha1" -> {
       // identical CTEs to the BM25 oracle, but emit (rank, doc_id):
       // α=1 blending rescales scores by a positive constant, so ranks

@@ -59,10 +59,12 @@ object DenseLambda {
     // graph = signals when spectral is on)
     val bCsr = spark.sparkContext.broadcast(signals.getOrElse(csr))
     val mode = cfg.tau
+    // cached: every search joins this table — λ computes once per
+    // build, not once per query (the persisted-λ-table shape)
     val lambdas = items.map { case (id, v) =>
       val tau = TauMode.selectTau(v, mode)
       (id, TauMode.syntheticLambdaDense(v, bCsr.value, tau))
-    }.toDF("id", "lambda")
+    }.toDF("id", "lambda").cache()
     Built(csr, mode, f, lambdas, signals)
   }
 

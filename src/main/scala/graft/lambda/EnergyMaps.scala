@@ -320,9 +320,12 @@ object EnergyMaps {
     val (glE, cl, cg) = buildEnergyLaplacian(spark, sub, cfg.energy, cfg.lambdaK, normalise = false)
     val bCsr = spark.sparkContext.broadcast(glE)
     val mode = cfg.tau
+    // cached: searchEnergy JOINS this table per query — the λ pass over
+    // every vector runs once per build, not once per query (at cluster
+    // scale this is a persisted table, as in LambdaPipeline)
     val lambdas = items.map { case (id, v) =>
       (id, syntheticLambdaPrefix(v, bCsr.value, TauMode.selectTau(v, mode)))
-    }.toDF("id", "lambda")
+    }.toDF("id", "lambda").cache()
     Built(glE, cl, cg, lambdas, mode)
   }
 

@@ -289,11 +289,18 @@ object IndexBuilder {
     // anywhere inside this append leaves the derivation unchanged, so a
     // retry — even with a different payload fingerprint — recomputes the
     // same baseline instead of double-counting the orphaned attempt.
+    // A meta without base-only stats (nDocs0) predates this scheme; its
+    // nDocs already folds prior epochs, so deriving from it is only
+    // sound while NO epoch exists — refuse otherwise instead of
+    // double-counting, and backfill nDocs0 at the commit below.
+    require(meta0.contains("nDocs0") || epoch == 1,
+      s"index meta at $dir has ${epoch - 1} committed epoch(s) but no base-only " +
+        "stats (nDocs0) — rebuilt per-epoch accounting requires a base rebuild first")
+    val base0Docs = meta0.getOrElse("nDocs0", meta0("nDocs")).toLong
+    val base0Toks = meta0.getOrElse("totalTokens0", meta0("totalTokens")).toLong
     val committed = (1 until epoch).map(e => readMeta(s"$dir/epochs/e$e/stats.props"))
-    val baseDocs = meta0.getOrElse("nDocs0", meta0("nDocs")).toLong +
-      committed.map(_("m").toLong).sum
-    val baseToks = meta0.getOrElse("totalTokens0", meta0("totalTokens")).toLong +
-      committed.map(_("toks").toLong).sum
+    val baseDocs = base0Docs + committed.map(_("m").toLong).sum
+    val baseToks = base0Toks + committed.map(_("toks").toLong).sum
     val eDir = s"$dir/epochs/e$epoch"
     Files.createDirectories(Paths.get(eDir))
     val fp = Stage.fingerprintOf(appendFp, p.fingerprint, meta0("fingerprint"), s"epoch=$epoch")
@@ -370,11 +377,15 @@ object IndexBuilder {
       -1L
     }
     // ---- commit: global meta derived from base + committed epochs ------
+    // (nDocs0/totalTokens0 backfilled for pre-scheme metas, so every
+    // later append derives from true base-only stats)
     writeMeta(s"$dir/meta.props",
       readMeta(s"$dir/meta.props") ++ Map(
         "nDocs" -> nDocsNow.toString,
         "avgdl" -> epochAvgdl.toString,
         "totalTokens" -> totalToksNow.toString,
+        "nDocs0" -> base0Docs.toString,
+        "totalTokens0" -> base0Toks.toString,
         "epochs" -> (epoch + 1).toString,
         s"fp_e$epoch" -> appendFp))
     new InvertedIndex(spark, dir)

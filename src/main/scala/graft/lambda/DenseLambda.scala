@@ -39,6 +39,10 @@ object DenseLambda {
   case class Built(csr: Csr, tau: TauMode, nFeatures: Int, lambdas: DataFrame,
       signals: Option[Csr] = None) {
     def lambdaGraph: Csr = signals.getOrElse(csr)
+    /** Release the cached λ table (builds cache it because every search
+      * joins it; the owner of the Built controls the lifetime).
+      */
+    def unpersist(): Unit = { lambdas.unpersist(); () }
   }
 
   def build(spark: SparkSession, items: Dataset[(Long, Array[Double])],

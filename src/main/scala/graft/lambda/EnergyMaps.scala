@@ -48,7 +48,12 @@ object EnergyMaps {
       energy: EnergyParams = EnergyParams())
 
   case class Built(glEnergy: Csr, centroidLambda: Array[Double],
-      centroidGini: Array[Double], lambdas: DataFrame, tau: TauMode)
+      centroidGini: Array[Double], lambdas: DataFrame, tau: TauMode) {
+    /** Release the cached λ table (builds cache it because every search
+      * joins it; the owner of the Built controls the lifetime).
+      */
+    def unpersist(): Unit = { lambdas.unpersist(); () }
+  }
 
   // ---- E10 helpers ------------------------------------------------------
 
@@ -359,17 +364,24 @@ object EnergyMaps {
     val lq = queryLambda(q, built)
     val bq = spark.sparkContext.broadcast(q)
     val bSig = spark.sparkContext.broadcast(signals)
-    // per-item λ comes from the BUILT λ table (one join on id), not a
-    // per-query recompute of the synthetic-λ pass over every vector —
-    // same deterministic values, one scan of the λ table in the plan
-    val dirich = items.map { case (id, v) =>
-      val diff = bq.value.zip(v).map { case (a, b) => a - b }
-      (id, projectedDirichlet(diff, bSig.value))
-    }.toDF("id", "dirich")
-    val scored = dirich.join(built.lambdas, "id")
-      .withColumn("score",
-        -(lit(wLambda) * abs(lit(lq) - col("lambda")) + lit(wDirichlet) * col("dirich")))
-      .select(col("id"), col("score"))
+    val bCsr = spark.sparkContext.broadcast(built.glEnergy)
+    val mode = built.tau
+    // per-item λ comes from the BUILT λ table (a LEFT join on id — one
+    // scan of the cached λ table per query instead of re-running the
+    // synthetic-λ pass over every vector); items absent from the build
+    // set (mutated/extra rows — the old contract scored ANY items
+    // dataset) fall back to the on-the-fly computation, so the result
+    // set never silently shrinks
+    val scored = items.toDF("id", "vec")
+      .join(built.lambdas, Seq("id"), "left")
+      .as[(Long, Array[Double], Option[Double])]
+      .map { case (id, v, lamOpt) =>
+        val li = lamOpt.getOrElse(
+          syntheticLambdaPrefix(v, bCsr.value, TauMode.selectTau(v, mode)))
+        val diff = bq.value.zip(v).map { case (a, b) => a - b }
+        val dist = wLambda * math.abs(lq - li) + wDirichlet * projectedDirichlet(diff, bSig.value)
+        (id, -dist)
+      }.toDF("id", "score")
     scored.orderBy(col("score").desc, col("id").asc).limit(k)
   }
 }

@@ -59,10 +59,14 @@ object LambdaPipeline {
       cfg: Config = Config()): LambdaIndex = {
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
-    // fp includes the epoch count: appending a snapshot to the index
-    // invalidates staged λ artifacts (they must cover the new docs)
-    val fp = Stage.fingerprintOf(index.dir, cfg.fingerprint, index.meta("fingerprint"),
-      "epochs", index.epochs.toString)
+    // fp chains the epoch count AND every committed epoch's payload
+    // fingerprint: appending a snapshot — or rebuilding epochs with
+    // different payloads at the same count — invalidates staged λ
+    // artifacts (same hazard class as the termstats fingerprint chain)
+    val fp = Stage.fingerprintOf(
+      Seq(index.dir, cfg.fingerprint, index.meta("fingerprint"),
+        "epochs", index.epochs.toString) ++
+        (1 until index.epochs).map(e => index.meta(s"fp_e$e")): _*)
 
     // ---- vocab: prune to broadcastable term-node set -------------------
     Stage.run(s"$dir/vocab", "vocab", fp) {

@@ -34,7 +34,12 @@ final class LocalBlended(
     val toks = tokenize(qText)
     val counts = toks.toSeq.groupBy(identity).map { case (t, xs) => t -> xs.size }
     val lq = queryLambda(counts)
-    val terms = toks.distinct.filter(searcher.byTerm.contains).sorted
+    // terms filter + ubNorm/tightUb come from GLOBAL stats (termDf /
+    // termUb cover the whole index) — NOT from this replica's slice-
+    // local byTerm: a term absent from this shard range must still
+    // contribute to the normalizer, or replicas score on different
+    // scales and the fan-out merge stops being exact
+    val terms = toks.distinct.filter(searcher.termDf.contains).sorted
     if (terms.isEmpty) return Array.empty
     val idf = terms.map(t => t -> searcher.idf(t)).toMap
     val k1p1 = searcher.params.k1 + 1.0
@@ -43,7 +48,9 @@ final class LocalBlended(
     val slack =
       if (alpha <= 0.0) tightUb
       else math.min((1.0 - alpha) / alpha * ubNorm, tightUb)
-    val byShard = terms.flatMap(t => searcher.byTerm(t)).groupBy(_.shard)
+    val byShard = terms
+      .flatMap(t => searcher.byTerm.getOrElse(t, Array.empty[graft.index.DecodedList]))
+      .groupBy(_.shard)
     val heap = new scala.collection.mutable.PriorityQueue[Wand.Hit]()(
       (a: Wand.Hit, b: Wand.Hit) => {
         val c = java.lang.Double.compare(a.score, b.score)

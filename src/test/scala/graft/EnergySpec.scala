@@ -99,6 +99,20 @@ class EnergySpec extends AnyFunSuite {
     assert(scores == scores.sortBy(-(_: Double)))
   }
 
+  test("energy search scores items OUTSIDE the build set (λ fallback, nothing dropped)") {
+    import spark.implicits._
+    val q = items.filter(_._1 == 5L).head()._2
+    // an item id the build never saw, with the query's own vector — it
+    // must appear (and win: self-distance 0 ties id 5, larger id loses
+    // the tie-break but must still be PRESENT)
+    val extra = items.union(spark.createDataset(Seq((99999L, q))))
+    val res = EnergyMaps.searchEnergy(extra, built, q, 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(res.map(_._1).contains(99999L), s"unbuilt item dropped: $res")
+    assert(res.head._1 == 5L && res(1)._1 == 99999L, s"$res")
+    assert(math.abs(res.head._2 - res(1)._2) < 1e-12)
+  }
+
   test("optical compression path end-to-end") {
     val b = EnergyMaps.build(spark, items,
       EnergyMaps.Config(maxClusters = 12,

@@ -174,12 +174,22 @@ class LambdaPipelineSpec extends AnyFunSuite {
     val lo = graft.search.LocalBlended.fromIndexes(index, li, 0, 1)
     val hi = graft.search.LocalBlended.fromIndexes(index, li, 2, Int.MaxValue)
     assert(!lo.lambdas.isEmpty && !hi.lambdas.isEmpty)
-    for (q <- Seq("get value data", "merge sort batch")) {
+    // the third query carries a needle term that exists ONLY in the hi
+    // replica's shard range (doc 390 → shard 3): the lo replica must
+    // still normalize by the GLOBAL ubNorm (slice-local term filtering
+    // would inflate its scores and break merge exactness)
+    val needleHex = graft.tokenize.CodeTokenizer
+      .codeTokens(CodeCorpus.needleToken(42L, 390L))(1)
+    for (q <- Seq("get value data", "merge sort batch", s"get value $needleHex")) {
       val merged = graft.search.LocalSearcher
         .mergeTopK(Seq(lo.topK(q, 10, 0.9), hi.topK(q, 10, 0.9)), 10)
         .map(h => (h.docId, h.score)).toSeq
       val whole = lb.topK(q, 10, 0.9).map(h => (h.docId, h.score)).toSeq
       assert(merged == whole, s"q=$q: $merged vs $whole")
+      val dist = li.blendedTopK(index, q, 10, alpha = 0.9).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(merged.map(_._1) == dist.map(_._1), s"q=$q: $merged vs distributed $dist")
+      merged.zip(dist).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
     }
   }
 
@@ -189,6 +199,8 @@ class LambdaPipelineSpec extends AnyFunSuite {
     val t = Files.createTempDirectory("graft-lp-app").toString
     val base = IndexBuilder.build(spark, CodeCorpus.generate(spark, 300L, 5L, 6),
       s"$t/idx", corpusFp = "synthetic:5:300", p)
+    val metaBase = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$t/idx/meta.props"))
     val li1 = LambdaPipeline.build(spark, base, s"$t/lam", cfg)
     assert(li1.lambdas.count() == 300)
     val extra = spark.createDataset((300L until 450L).map(id => CodeCorpus.file(5L, id)))
@@ -216,6 +228,35 @@ class LambdaPipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got.map(_._1) == want.map(_._1), s"$got vs $want")
     got.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+    // a DIFFERENT epoch payload at the SAME epoch count must invalidate
+    // the staged λ (the fp chains per-epoch payload fingerprints, not
+    // just the count) — simulate the pre-commit crash + variant retry
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$t/idx/meta.props"), metaBase)
+    val extraB = spark.createDataset((0L until 200L).map(id => CodeCorpus.file(99L, id)))
+    val appendedB = IndexBuilder.append(spark, extraB, s"$t/idx", appendFp = "e1:variantB", p)
+    assert(appendedB.nDocs == 500 && appendedB.epochs == 2)
+    val li3 = LambdaPipeline.build(spark, appendedB, s"$t/lam", cfg)
+    assert(li3.lambdas.count() == 500, "staged λ must rebuild for the variant epoch payload")
+  }
+
+  test("append refuses a meta without base-only stats once epochs exist (no double-count)") {
+    import spark.implicits._
+    val p = IndexBuilder.Params(docsPerShard = 128L, numParts = 4)
+    val t = Files.createTempDirectory("graft-prev4").toString
+    IndexBuilder.build(spark, CodeCorpus.generate(spark, 200L, 3L, 4),
+      s"$t/idx", corpusFp = "synthetic:3:200", p)
+    val e1 = spark.createDataset((0L until 100L).map(id => CodeCorpus.file(4L, id)))
+    IndexBuilder.append(spark, e1, s"$t/idx", appendFp = "e1:a", p)
+    // strip the base-only stats (a pre-scheme meta shape): a further
+    // append must refuse instead of double-counting epoch docs
+    val m = IndexBuilder.readMeta(s"$t/idx/meta.props")
+    IndexBuilder.writeMeta(s"$t/idx/meta.props", m - "nDocs0" - "totalTokens0")
+    val e2 = spark.createDataset((0L until 50L).map(id => CodeCorpus.file(6L, id)))
+    val ex = intercept[IllegalArgumentException] {
+      IndexBuilder.append(spark, e2, s"$t/idx", appendFp = "e2:b", p)
+    }
+    assert(ex.getMessage.contains("nDocs0"))
   }
 
   test("range search is one-sided: everything with lambda >= lq - eps") {

@@ -72,7 +72,7 @@ object Bench {
       _ => Seq("get"), // Q4 hottest
       id => { // Q5 terms of doc id with one substitution
         val f = CodeCorpus.file(Seed, id % nFiles)
-        val ts = CodeTokenizer.codeTokens(f.content).distinct.take(6)
+        val ts = CodeTokenizer.codeTokens(f.content).distinct.take(6).toSeq
         ts.dropRight(1) :+ "value"
       })
     (0 until n).map(i => (i, classes(i % classes.length)((i / classes.length).toLong)))

@@ -58,7 +58,7 @@ final class LocalBlended(
       })
     byShard.toSeq.sortBy(_._1).foreach { case (_, lists) =>
       val cursors = lists.sortBy(_.term)
-        .map(dl => new DecodedCursor(dl, idf(dl.term)))
+        .map(dl => new DecodedCursor(dl, idf(dl.term))).toSeq
       Wand.candidatesWithSlack(cursors, k, slack).foreach { h =>
         val lam = lambdas.get(h.docId)
         val prox = 1.0 - math.min(math.abs(lq - (if (lam == null) 0.0 else lam.doubleValue())), 1.0)

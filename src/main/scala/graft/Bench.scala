@@ -10,16 +10,31 @@ import graft.tokenize.CodeTokenizer
   * Three parts:
   *  1. The north rule's two-cluster-size scaling evidence: the SAME
   *     build+query job at local[1] (N) and local[4] (4N) on the SAME
-  *     corpus, best-of-two per level; efficiency = thr(4N)/(4·thr(N)).
-  *     Why the 1/4 pair: N=1 is the cleanest Amdahl baseline and 4
-  *     cores stay under this box's shared-resource contention point —
-  *     measured calibration: a pure-CPU spin loop scales 2→8 at only
-  *     0.868 on this VM (turbo + shared L3/bandwidth), i.e. pairs at 8+
-  *     cores measure the BOX, not the job; a real 4× cluster multiplies
-  *     memory systems with nodes, which the low-core pair models.
+  *     corpus, best-of-accepted-attempts per level; efficiency =
+  *     thr(4N)/(4·thr(N)). Why the 1/4 pair: N=1 is the cleanest Amdahl
+  *     baseline and 4 cores stay under this box's shared-resource
+  *     contention point — measured calibration: a pure-CPU spin loop
+  *     scales 2→8 at only 0.868 on this VM (turbo + shared
+  *     L3/bandwidth), i.e. pairs at 8+ cores measure the BOX, not the
+  *     job; a real 4× cluster multiplies memory systems with nodes,
+  *     which the low-core pair models.
   *  2. Peak single-box throughput at local[32] (full machine).
   *  3. Headline single-query latencies — distributed and in-memory
-  *     serving (LocalSearcher) paths.
+  *     serving (LocalSearcher/LocalBlended) paths, plus the blended
+  *     batch paths (distributed and serving-tier).
+  *
+  * CONTENTION PROTOCOL (round 4): this box carries other tenants whose
+  * load arrives in ~10-minute waves (1.5–4.6 observed), and an official
+  * record taken inside one wave reads as a 2× regression of the same
+  * code. Every attempt therefore MEASURES its own window — /proc/loadavg
+  * before/after plus a /proc/stat delta across the timed phases, from
+  * which the attempt computes EXTERNAL busy cores: (Δ system-wide busy
+  * incl. steal − Δ own process CPU) / wall. An attempt whose external
+  * load exceeds `ExtThreshold` cores is retried (bounded — a global
+  * budget of extra pairs), and EVERY attempt's annotations are recorded
+  * in BENCH.json (`attempts`), so a record taken in an unavoidably
+  * contended window carries its own evidence instead of reading as a
+  * regression.
   *
   * Query classes follow FIXTURES.md §B: Q1 common token, Q2 rare needle,
   * Q3 multi-term medium, Q4 hottest term, Q5 perturbed-document terms
@@ -36,6 +51,74 @@ object Bench {
     * dedup-aware batch path's unit of work) dominate the job floor.
     */
   val BatchSize = 32768
+  /** External-cores ceiling for an attempt to count as calm. Calm
+    * windows on this VM measure ≈0–0.3 external cores; the documented
+    * tenant waves measure 1.5–4.6. At the 4-core level one external
+    * core already costs ~20% of the makespan — the exact artifact the
+    * retry exists to avoid.
+    */
+  val ExtThreshold = 1.0
+  /** Global budget of EXTRA scaling pairs (beyond the 3 protocol pairs)
+    * spent retrying contended windows; the level-32 run gets its own
+    * small budget. Bounded so a long wave cannot stall the bench.
+    */
+  val MaxExtraPairs = 3
+  val MaxExtraFull = 2
+
+  // ---- window instrumentation ------------------------------------------
+
+  def loadAvg1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  case class Snap(busyTicks: Long, ownTicks: Long, wallNs: Long)
+
+  /** Snapshot system-wide busy jiffies (user+nice+system+irq+softirq+
+    * STEAL — steal is precisely the hypervisor running other tenants)
+    * and this process's own jiffies (utime+stime across all threads).
+    */
+  def snap(): Snap = {
+    val busy =
+      try {
+        val l = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+          .get(0).trim.split("\\s+")
+        Seq(1, 2, 3, 6, 7, 8).map(i => l(i).toLong).sum
+      } catch { case _: Throwable => -1L }
+    val own =
+      try {
+        val s = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+        val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        rest(11).toLong + rest(12).toLong // utime + stime (proc(5) fields 14, 15)
+      } catch { case _: Throwable => -1L }
+    Snap(busy, own, System.nanoTime())
+  }
+
+  /** External busy cores averaged over the window [a, b]: CPU burned by
+    * anything that is NOT this JVM (other tenants, other processes,
+    * hypervisor steal), in units of cores. The honest windowed
+    * contention metric — unlike loadavg it is scoped exactly to the
+    * attempt and excludes the job's own load.
+    */
+  def extCores(a: Snap, b: Snap): Double = {
+    if (a.busyTicks < 0 || b.busyTicks < 0 || a.ownTicks < 0 || b.ownTicks < 0) return -1.0
+    val wallSec = (b.wallNs - a.wallNs) / 1e9
+    if (wallSec <= 0) return -1.0
+    val hz = 100.0 // USER_HZ
+    math.max(((b.busyTicks - a.busyTicks) - (b.ownTicks - a.ownTicks)) / hz / wallSec, 0.0)
+  }
+
+  /** Per-stage wall times from the build's lineage sidecars. */
+  def stageWallMs(dir: String): Map[String, Double] =
+    Seq("docs", "termfreq", "doclens", "postings", "termstats").flatMap { s =>
+      val p = java.nio.file.Paths.get(s"$dir/$s/_lineage.json")
+      if (java.nio.file.Files.exists(p)) {
+        val j = java.nio.file.Files.readString(p)
+        "\"wallMs\": (\\d+)".r.findFirstMatchIn(j).map(m => s"stage_$s" -> m.group(1).toDouble)
+      } else None
+    }.toMap
+
+  // ---- the measured job -------------------------------------------------
 
   def newSession(cpus: Int): SparkSession = {
     SparkSession.clearActiveSession()
@@ -52,7 +135,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // task-side parallel file commits (v2): the v1 driver-side serial
-      // rename of ~128 part files per stage is a fixed floor that
+      // rename of ~32 part files per stage is a fixed floor that
       // poisons the low-core/high-core ratio
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
@@ -79,7 +162,8 @@ object Bench {
   }
 
   case class LevelResult(cpus: Int, buildSec: Double, filesPerSec: Double,
-      batchSec: Double, qps: Double, singles: Map[String, Double])
+      batchSec: Double, qps: Double, singles: Map[String, Double],
+      probe: Map[String, Double])
 
   def benchAt(cpus: Int, nFiles: Long, dirBase: String, singlesToo: Boolean, attempt: Int = 0): LevelResult = {
     // settle the shared JVM between levels (previous level's blocks and
@@ -87,6 +171,7 @@ object Bench {
     // comparable across levels)
     System.gc()
     Thread.sleep(2000)
+    val loadPre = loadAvg1()
     val spark = newSession(cpus)
     try {
       // small untimed warmup build: JIT + codegen caches, so the first
@@ -97,16 +182,21 @@ object Bench {
         corpusFp = s"warm:$Seed", IndexBuilder.Params(docsPerShard = 256L, numParts = 16))
       val dir = s"$dirBase/idx_cpu${cpus}_$attempt" // distinct dir per attempt: a shared dir would resume from checkpoints and time nothing
       Stage.deleteRecursive(java.nio.file.Paths.get(dir))
+      val sb0 = snap()
       val t0 = System.nanoTime()
       // IDENTICAL job definition at every parallelism level: sharding and
       // partition counts derive from the corpus, never from cpus, so the
-      // two-cluster-size runs execute the same logical plan
+      // two-cluster-size runs execute the same logical plan. numParts 32
+      // (fewer, larger part files — fixed across levels): the per-stage
+      // commit floor of 128 part files was pure fixed cost at the 1-core
+      // level.
       val index = IndexBuilder.build(spark,
         CodeCorpus.generate(spark, nFiles, Seed, 128), dir,
         corpusFp = s"bench:$Seed:$nFiles",
         IndexBuilder.Params(docsPerShard = math.max(nFiles / 128, 256L),
-          numParts = 128))
+          numParts = 32))
       val buildSec = (System.nanoTime() - t0) / 1e9
+      val extBuild = extCores(sb0, snap())
       // query phase: 128 shuffle partitions ≈ one doc-shard per task —
       // measured: the 64-partition default leaves 2-3-shard straggler
       // tasks that cost ~15% of the 4-core makespan (same setting at
@@ -117,79 +207,104 @@ object Bench {
       // batch QPS (one Spark job for the whole batch); two timed reps,
       // min — single-rep wall clock swings ±15% with GC/page-cache state
       val batch = queryBatch(nFiles, BatchSize)
+      val sq0 = snap()
       val batchSec = (1 to 2).map { _ =>
         val tb = System.nanoTime()
         index.wandTopKBatch(batch, 10).count()
         (System.nanoTime() - tb) / 1e9
       }.min
+      val extBatch = extCores(sq0, snap())
       // single-query latencies: distributed path (Spark job per query)
       // AND the in-memory serving tier (LocalSearcher — comparable to the
       // reference's in-process 8-19 ms criterion numbers)
       val singles =
         if (!singlesToo) Map.empty[String, Double]
-        else {
-          val cls = Seq(
-            "q1_common" -> Seq("data"),
-            "q2_needle" -> Seq(CodeTokenizer.codeTokens(CodeCorpus.needleToken(Seed, 7L))(1)),
-            "q3_multi" -> Seq("merge", "segment", "filter"),
-            "q4_hot" -> Seq("get"),
-            "q5_perturbed" -> queryBatch(nFiles, 5).last._2)
-          val dist = cls.map { case (name, q) =>
-            val t = System.nanoTime()
-            index.wandTopK(q, 10).count()
-            name -> (System.nanoTime() - t) / 1e9
-          }.toMap
-          val local = graft.search.LocalSearcher.fromIndex(index)
-          val serving = cls.map { case (name, q) =>
-            local.topK(q, 10) // warm
-            val reps = 20
-            val times = (1 to reps).map { _ =>
-              val t = System.nanoTime()
-              local.topK(q, 10)
-              (System.nanoTime() - t) / 1e9
-            }.sorted
-            s"serving_$name" -> times(reps / 2) // median
-          }.toMap
-          // λτ pipeline + BATCHED blended search at α=0.9 (the
-          // reference's own blended bench config, base_index_bench
-          // α=0.9): per-set slack bands + one λ join for the whole batch
-          val lamDir = s"$dirBase/lam_cpu$cpus"
-          Stage.deleteRecursive(java.nio.file.Paths.get(lamDir))
-          val tl = System.nanoTime()
-          val lam = graft.lambda.LambdaPipeline.build(spark, index, lamDir)
-          val lamBuildSec = (System.nanoTime() - tl) / 1e9
-          def blTexts(n: Int) =
-            queryBatch(nFiles, n).map { case (qid, ts) => (qid, ts.mkString(" ")) }
-          lam.blendedTopKBatch(index, blTexts(512), 10, alpha = 0.9).count() // warm
-          val blN = 4096
-          val blSec = (1 to 2).map { _ =>
-            val t = System.nanoTime()
-            lam.blendedTopKBatch(index, blTexts(blN), 10, alpha = 0.9).count()
-            (System.nanoTime() - t) / 1e9
-          }.min
-          // blended SERVING tier (LocalBlended): ms-latency λ-aware
-          // top-k, comparable to the reference's in-process α=0.9
-          // criterion (8.65 ms top-3 over 150 items)
-          val lb = graft.search.LocalBlended.fromIndexes(index, lam)
-          val servingBlend = Seq(
-            "q1_common" -> "data",
-            "q3_multi" -> "merge segment filter").map { case (name, text) =>
-            lb.topK(text, 10, 0.9) // warm
-            val reps = 20
-            val times = (1 to reps).map { _ =>
-              val t = System.nanoTime()
-              lb.topK(text, 10, 0.9)
-              (System.nanoTime() - t) / 1e9
-            }.sorted
-            s"serving_blended_$name" -> times(reps / 2)
-          }.toMap
-          dist ++ serving ++ servingBlend ++ Map(
-            "lambda_build_sec" -> lamBuildSec,
-            s"blended_batch${blN}_sec" -> blSec,
-            s"blended_batch${blN}_qps" -> blN / blSec)
-        }
-      LevelResult(cpus, buildSec, nFiles / buildSec, batchSec, BatchSize.toDouble / batchSec, singles)
+        else benchSingles(spark, index, nFiles, dirBase, cpus)
+      val probe = Map(
+        "load_pre" -> loadPre,
+        "load_post" -> loadAvg1(),
+        "ext_build" -> extBuild,
+        "ext_batch" -> extBatch) ++ stageWallMs(dir)
+      LevelResult(cpus, buildSec, nFiles / buildSec, batchSec,
+        BatchSize.toDouble / batchSec, singles, probe)
     } finally spark.stop()
+  }
+
+  /** Headline latency + blended-path block (level-32 run only). */
+  private def benchSingles(spark: SparkSession, index: InvertedIndex,
+      nFiles: Long, dirBase: String, cpus: Int): Map[String, Double] = {
+    val cls = Seq(
+      "q1_common" -> Seq("data"),
+      "q2_needle" -> Seq(CodeTokenizer.codeTokens(CodeCorpus.needleToken(Seed, 7L))(1)),
+      "q3_multi" -> Seq("merge", "segment", "filter"),
+      "q4_hot" -> Seq("get"),
+      "q5_perturbed" -> queryBatch(nFiles, 5).last._2)
+    val dist = cls.map { case (name, q) =>
+      val t = System.nanoTime()
+      index.wandTopK(q, 10).count()
+      name -> (System.nanoTime() - t) / 1e9
+    }.toMap
+    val local = graft.search.LocalSearcher.fromIndex(index)
+    val serving = cls.map { case (name, q) =>
+      local.topK(q, 10) // warm
+      val reps = 20
+      val times = (1 to reps).map { _ =>
+        val t = System.nanoTime()
+        local.topK(q, 10)
+        (System.nanoTime() - t) / 1e9
+      }.sorted
+      s"serving_$name" -> times(reps / 2) // median
+    }.toMap
+    // λτ pipeline + BATCHED blended search at α=0.9 (the reference's own
+    // blended bench config, base_index_bench α=0.9): per-set slack bands
+    // + one λ join for the whole batch
+    val lamDir = s"$dirBase/lam_cpu$cpus"
+    Stage.deleteRecursive(java.nio.file.Paths.get(lamDir))
+    val tl = System.nanoTime()
+    val lam = graft.lambda.LambdaPipeline.build(spark, index, lamDir)
+    val lamBuildSec = (System.nanoTime() - tl) / 1e9
+    def blTexts(n: Int) =
+      queryBatch(nFiles, n).map { case (qid, ts) => (qid, ts.mkString(" ")) }
+    lam.blendedTopKBatch(index, blTexts(512), 10, alpha = 0.9).count() // warm
+    val blN = 4096
+    val blSec = (1 to 2).map { _ =>
+      val t = System.nanoTime()
+      lam.blendedTopKBatch(index, blTexts(blN), 10, alpha = 0.9).count()
+      (System.nanoTime() - t) / 1e9
+    }.min
+    // blended SERVING tier (LocalBlended): ms-latency λ-aware top-k,
+    // comparable to the reference's in-process α=0.9 criterion (8.65 ms
+    // top-3 over 150 items)
+    val lb = graft.search.LocalBlended.fromIndexes(index, lam)
+    val servingBlend = Seq(
+      "q1_common" -> "data",
+      "q3_multi" -> "merge segment filter").map { case (name, text) =>
+      lb.topK(text, 10, 0.9) // warm
+      val reps = 20
+      val times = (1 to reps).map { _ =>
+        val t = System.nanoTime()
+        lb.topK(text, 10, 0.9)
+        (System.nanoTime() - t) / 1e9
+      }.sorted
+      s"serving_blended_$name" -> times(reps / 2)
+    }.toMap
+    // blended serving BATCH: one topKBatch call answers N queries with
+    // per-canonical dedup (tokenize/λ/band once per distinct set) — the
+    // reference's batch headline shape served from the in-memory tier
+    val sbN = 512
+    val sbQueries = blTexts(sbN)
+    lb.topKBatch(sbQueries.take(64), 10, 0.9) // warm
+    val sbSec = (1 to 2).map { _ =>
+      val t = System.nanoTime()
+      lb.topKBatch(sbQueries, 10, 0.9)
+      (System.nanoTime() - t) / 1e9
+    }.min
+    dist ++ serving ++ servingBlend ++ Map(
+      "lambda_build_sec" -> lamBuildSec,
+      s"blended_batch${blN}_sec" -> blSec,
+      s"blended_batch${blN}_qps" -> blN / blSec,
+      s"serving_blended_batch${sbN}_sec" -> sbSec,
+      s"serving_blended_batch${sbN}_qps" -> sbN / sbSec)
   }
 
   /** Child mode: one benchAt level in THIS JVM, result printed as one
@@ -206,9 +321,10 @@ object Bench {
     val singles = args(4).toBoolean
     val tmp = args(5)
     val r = benchAt(cpus, nFiles, tmp, singlesToo = singles, attempt = attempt)
-    val singlesStr = r.singles.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }.mkString(",")
-    println(s"LEVELRESULT ${r.cpus} ${r.buildSec} ${r.filesPerSec} ${r.batchSec} ${r.qps} $singlesStr")
+    def kv(m: Map[String, Double]): String =
+      if (m.isEmpty) "-"
+      else m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+    println(s"LEVELRESULT ${r.cpus} ${r.buildSec} ${r.filesPerSec} ${r.batchSec} ${r.qps} ${kv(r.singles)} ${kv(r.probe)}")
   }
 
   /** Spawn a fresh JVM (same opts + classpath) for one level/attempt. */
@@ -229,15 +345,23 @@ object Bench {
     val line = out.linesIterator.find(_.startsWith("LEVELRESULT "))
       .getOrElse(throw new IllegalStateException(s"level $cpus attempt $attempt rc=$rc: no result in: $out"))
     val parts = line.split(" ")
-    val singlesMap =
-      if (parts.length > 6 && parts(6).nonEmpty)
-        parts(6).split(",").map { kv =>
-          val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1).toDouble
-        }.toMap
-      else Map.empty[String, Double]
+    def kvParse(s: String): Map[String, Double] =
+      if (s == "-" || s.isEmpty) Map.empty
+      else s.split(",").map { kv =>
+        val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1).toDouble
+      }.toMap
     LevelResult(parts(1).toInt, parts(2).toDouble, parts(3).toDouble,
-      parts(4).toDouble, parts(5).toDouble, singlesMap)
+      parts(4).toDouble, parts(5).toDouble,
+      if (parts.length > 6) kvParse(parts(6)) else Map.empty,
+      if (parts.length > 7) kvParse(parts(7)) else Map.empty)
   }
+
+  /** Worst external load over an attempt's timed phases. */
+  private def extOf(r: LevelResult): Double =
+    math.max(r.probe.getOrElse("ext_build", -1.0), r.probe.getOrElse("ext_batch", -1.0))
+
+  case class AttemptLog(level: Int, pair: Int, tryNo: Int, r: LevelResult,
+      var accepted: Boolean)
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 6 && args(0) == "--level") { childMain(args); return }
@@ -247,42 +371,82 @@ object Bench {
       m.map(_.group(1).toDouble).getOrElse(0.1)
     }
     // Scaling pair: N = 1 core vs 4N = 4 cores ("N and 4N cores" per the
-    // evidence rule). N=1 is the cleanest Amdahl baseline; 4 cores stay
-    // under this box's shared-resource contention point. Calibration
-    // measured on this VM: a pure-CPU spin loop scales 2→8 at only
-    // 0.868 (turbo + shared L3/bandwidth), so any pair touching 8+
-    // cores measures the box, not the job — a real 4× cluster
-    // multiplies memory systems with nodes, which the low-core pair
-    // models faithfully. One corpus for all levels, big enough that
-    // fixed per-stage overhead doesn't dilute the efficiency.
+    // evidence rule); see newSession/benchAt comments for why 1/4 and
+    // why fresh JVMs. One corpus for all levels, big enough that fixed
+    // per-stage overhead doesn't dilute the efficiency.
     val nFull = math.max(5000L, (1000000 * sf).toLong)
     val nScale = nFull
     val tmp = s"/tmp/graft_bench_${(sf * 1000).toInt}"
     val tTotal = System.nanoTime()
-    // best-of-three per scaling level: single-box wall clock varies
-    // ±10-20% with page-cache/GC state, which otherwise dominates the
-    // efficiency RATIO (two independent ±15% samples swing it ±0.1);
+    // best-of-accepted-attempts per scaling level: single-box wall clock
+    // varies ±10-20% with page-cache/GC state, which otherwise dominates
+    // the efficiency RATIO (two independent ±15% samples swing it ±0.1);
     // min-time is the standard benchmark estimator for that noise
     def best(a: LevelResult, b: LevelResult): LevelResult =
       LevelResult(a.cpus,
         math.min(a.buildSec, b.buildSec), math.max(a.filesPerSec, b.filesPerSec),
         math.min(a.batchSec, b.batchSec), math.max(a.qps, b.qps),
-        a.singles ++ b.singles)
-    // every level/attempt in a FRESH JVM (see childMain: JVM aging
-    // biased later levels by 10-15%), and the N / 4N attempts are
+        a.singles ++ b.singles,
+        if (a.buildSec <= b.buildSec) a.probe else b.probe)
+    // every level/attempt in a FRESH JVM, and the N / 4N attempts are
     // INTERLEAVED as adjacent pairs: this box's ambient contention
     // drifts on ~10-minute scales, so a ratio taken from two distant
     // windows measures the drift, not the job — each pair shares one
-    // window, and the reported efficiency is the best pair's (the
-    // min-time estimator applied to the ratio's one-sided slowdown
-    // noise)
-    val pairs = (0 until 3).map { a =>
-      (runLevel(1, nScale, tmp, singles = false, attempt = a),
-        runLevel(4, nScale, tmp, singles = false, attempt = a))
+    // window. NEW (round 4): each pair measures its own window's
+    // external load; a contended pair is retried from the bounded extra
+    // budget, and every attempt (kept or replaced) lands annotated in
+    // BENCH.json. The estimator itself is FROZEN from rounds 2-3.
+    val attempts = scala.collection.mutable.Buffer[AttemptLog]()
+    var extraBudget = MaxExtraPairs
+    var attemptCounter = 0
+    val pairs = (0 until 3).map { pairIdx =>
+      var bestPair: Option[(LevelResult, LevelResult)] = None
+      var bestExt = Double.MaxValue
+      var tryNo = 0
+      var done = false
+      while (!done) {
+        val r1 = runLevel(1, nScale, tmp, singles = false, attempt = attemptCounter)
+        attemptCounter += 1
+        val r4 = runLevel(4, nScale, tmp, singles = false, attempt = attemptCounter)
+        attemptCounter += 1
+        val a1 = AttemptLog(1, pairIdx, tryNo, r1, accepted = false)
+        val a4 = AttemptLog(4, pairIdx, tryNo, r4, accepted = false)
+        attempts += a1 += a4
+        val ext = math.max(extOf(r1), extOf(r4))
+        if (ext < bestExt) { bestExt = ext; bestPair = Some((r1, r4)) }
+        tryNo += 1
+        if (ext <= ExtThreshold || extraBudget <= 0) done = true
+        else extraBudget -= 1
+      }
+      bestPair.get
+    }
+    // mark the accepted attempts (the pair instance actually used)
+    pairs.zipWithIndex.foreach { case ((r1, r4), pi) =>
+      attempts.filter(a => a.pair == pi && (a.r eq r1) || a.pair == pi && (a.r eq r4))
+        .foreach(_.accepted = true)
     }
     val r1 = pairs.map(_._1).reduce(best)
     val r4 = pairs.map(_._2).reduce(best)
-    val r32 = runLevel(32, nFull, tmp, singles = true, attempt = 0)
+    // full-machine run, same retry rule (the r3 official record's 795
+    // files/s was one contended local[32] window)
+    var r32 = runLevel(32, nFull, tmp, singles = true, attempt = attemptCounter)
+    attempts += AttemptLog(32, -1, 0, r32, accepted = true)
+    attemptCounter += 1
+    var fullBudget = MaxExtraFull
+    var fullTry = 1
+    while (extOf(r32) > ExtThreshold && fullBudget > 0) {
+      fullBudget -= 1
+      val retry = runLevel(32, nFull, tmp, singles = true, attempt = attemptCounter)
+      attemptCounter += 1
+      val a = AttemptLog(32, -1, fullTry, retry, accepted = false)
+      fullTry += 1
+      if (extOf(retry) < extOf(r32)) {
+        attempts.filter(x => x.level == 32 && x.accepted).foreach(_.accepted = false)
+        a.accepted = true
+        r32 = retry
+      }
+      attempts += a
+    }
     val total = (System.nanoTime() - tTotal) / 1e9
     // Efficiency = ratio of BEST-OF-ATTEMPT throughputs per level (the
     // standard min-time estimator: each level's best attempt
@@ -296,6 +460,15 @@ object Bench {
     val effBuild = r4.filesPerSec / (4.0 * r1.filesPerSec)
     val effQps = r4.qps / (4.0 * r1.qps)
     def f(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // per-stage scaling decomposition from the accepted best attempts'
+    // lineage wall times: eff_s = t1_s / (4·t4_s)
+    val stageNames = Seq("docs", "termfreq", "doclens", "postings", "termstats")
+    val stageRows = stageNames.flatMap { s =>
+      (r1.probe.get(s"stage_$s"), r4.probe.get(s"stage_$s")) match {
+        case (Some(m1), Some(m4)) if m4 > 0 => Some((s, m1, m4, m1 / (4.0 * m4)))
+        case _ => None
+      }
+    }
     val singleJson = (r32.singles.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${f(v)}""" } ++ Seq(
       s""""batch${BatchSize}_n1":${f(r1.batchSec)}""",
@@ -305,6 +478,16 @@ object Bench {
       s""""build_n4":${f(r4.buildSec)}""",
       s""""build_n32_full":${f(r32.buildSec)}"""))
       .mkString("{", ",", "}")
+    val attemptsJson = attempts.map { a =>
+      val p = a.r.probe
+      s"""{"level":${a.level},"pair":${a.pair},"try":${a.tryNo},"accepted":${a.accepted},""" +
+        s""""load_pre":${f(p.getOrElse("load_pre", -1.0))},"load_post":${f(p.getOrElse("load_post", -1.0))},""" +
+        s""""ext_build":${f(p.getOrElse("ext_build", -1.0))},"ext_batch":${f(p.getOrElse("ext_batch", -1.0))},""" +
+        s""""build_files_per_sec":${f(a.r.filesPerSec)},"qps":${f(a.r.qps)}}"""
+    }.mkString("[", ",", "]")
+    val stageJson = stageRows.map { case (s, m1, m4, e) =>
+      s""""$s":{"n1_ms":${f(m1)},"n4_ms":${f(m4)},"eff":${f(e)}}"""
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"build+query total","value":${f(total)},"unit":"sec","queries":$singleJson,""" +
         s""""sf":"$sfDir","files_scaling":$nScale,"files_full":$nFull,"batch_queries":$BatchSize,""" +
@@ -313,6 +496,8 @@ object Bench {
         s""""qps_n1":${f(r1.qps)},"qps_n4":${f(r4.qps)},"qps_n32_full":${f(r32.qps)},""" +
         s""""pair_eff_build":[${pairEffBuild.map(f).mkString(",")}],""" +
         s""""pair_eff_qps":[${pairEffQps.map(f).mkString(",")}],""" +
+        s""""ext_threshold":${f(ExtThreshold)},"attempts":$attemptsJson,""" +
+        s""""stage_scaling":$stageJson,""" +
         s""""scaling_efficiency_build":${f(effBuild)},"scaling_efficiency_qps":${f(effQps)}}"""
     println(json)
     // machine-readable copy: the driver parses the printed line, but a
@@ -322,6 +507,16 @@ object Bench {
     catch { case _: Throwable => () }
     // human-readable record for BASELINE.md cross-reference
     try {
+      val stageTable = stageRows.map { case (s, m1, m4, e) =>
+        s"| $s | ${f(m1 / 1000.0)} s | ${f(m4 / 1000.0)} s | ${f(e)} |"
+      }.mkString("\n")
+      val attemptTable = attempts.map { a =>
+        val p = a.r.probe
+        s"| ${a.level} | ${a.pair} | ${a.tryNo} | ${if (a.accepted) "yes" else "no"} " +
+          s"| ${f(p.getOrElse("ext_build", -1.0))} | ${f(p.getOrElse("ext_batch", -1.0))} " +
+          s"| ${f(p.getOrElse("load_pre", -1.0))}→${f(p.getOrElse("load_post", -1.0))} " +
+          s"| ${f(a.r.filesPerSec)} | ${f(a.r.qps)} |"
+      }.mkString("\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"),
         s"""# BENCH — latest local measurements
            |
@@ -332,28 +527,45 @@ object Bench {
            |Protocol: three ADJACENT (1-core, 4-core) pairs, every attempt in
            |a fresh JVM (JVM aging across levels biased later levels
            |10-15%), two timed batch reps per attempt. Throughputs are
-           |best-of-attempts (min-time estimator) and the efficiency is
-           |their ratio: each level's best attempt approximates the
-           |UNCONTENDED machine, which is what the scaling claim is about —
-           |this box's ambient contention drifts on ~10-minute scales and
-           |skews any single pair's ratio either way (per-pair ratios are
-           |emitted in BENCH.json for transparency). The full-machine run (local[32],
-           |$nFull files) reports peak single-box throughput.
+           |best-of-accepted-attempts (min-time estimator) and the efficiency
+           |is their ratio. CONTENTION GUARD (round 4): every attempt measures
+           |its own window — 1-min loadavg before/after plus the /proc/stat
+           |external-cores delta over each timed phase (system-wide busy incl.
+           |steal minus this JVM's own CPU, per wall second). Attempts whose
+           |external load exceeded ${f(ExtThreshold)} cores were retried from a
+           |bounded budget ($MaxExtraPairs extra pairs, $MaxExtraFull extra
+           |full-machine runs); ALL attempts appear below with annotations.
+           |The full-machine run (local[32], $nFull files) reports peak
+           |single-box throughput.
            |
            |Why N=1/4N=4 for the efficiency criterion: N=1 is the cleanest
            |Amdahl baseline, and 4 cores stay below this box's
            |shared-resource contention point. Calibration on this VM: a
            |pure-CPU spin loop scales 2→8 at only 0.868 (turbo + shared
            |L3/memory bandwidth), so pairs touching 8+ cores measure the
-           |BOX, not the job — the same query job measured 2→8 lands at
-           |~0.72 with a 0.868 hardware ceiling. A real 4× cluster
-           |multiplies memory systems with nodes; the low-core pair is the
-           |honest single-box proxy for that.
+           |BOX, not the job — and 1→4 at 0.952, the machine's own ceiling
+           |for this pair. A real 4× cluster multiplies memory systems with
+           |nodes; the low-core pair is the honest single-box proxy for that.
            |
            || metric | N=1 core | 4N=4 cores | efficiency | local[32], $nFull files |
            || --- | --- | --- | --- | --- |
            || index build (files/sec) | ${f(r1.filesPerSec)} | ${f(r4.filesPerSec)} | ${f(effBuild)} | ${f(r32.filesPerSec)} |
            || batch-$BatchSize WAND top-10 QPS | ${f(r1.qps)} | ${f(r4.qps)} | ${f(effQps)} | ${f(r32.qps)} |
+           |
+           |Per-stage build decomposition (accepted best attempts' lineage
+           |wall times; eff = t(N=1) / (4·t(4N)) — the Amdahl account of
+           |where sub-1.0 scaling lives):
+           |
+           || stage | N=1 | 4N=4 | eff |
+           || --- | --- | --- | --- |
+           |$stageTable
+           |
+           |Attempt log (ext_* = external busy cores measured across the
+           |phase; the contention evidence for this record):
+           |
+           || level | pair | try | accepted | ext_build | ext_batch | load pre→post | files/s | qps |
+           || --- | --- | --- | --- | --- | --- | --- | --- | --- |
+           |$attemptTable
            |
            |Batch protocol: $BatchSize queries per job; the batch path
            |canonicalizes and DEDUPS term sets before execution (per-shard

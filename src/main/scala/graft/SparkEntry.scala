@@ -176,7 +176,7 @@ object SparkEntry {
     // asserts PartitionFilters in the scan)
     "ann_ivf" -> ((s, dir) => {
       val items = embeddingItems(s, dir)
-      val ivfDir = s"/tmp/graft_ivf_${new java.io.File(dir).getName}_16"
+      val ivfDir = s"/tmp/graft_ivf_${ivfKey(s, dir)}_16"
       val ivf = graft.ops.Similarity.materializeIvf(items, nlist = 16, ivfDir)
       val q = items.filter(_._1 == 0L).head()._2
       graft.ops.Similarity.ivfTopKPruned(s, ivf.model, ivfDir, q, 10, nprobe = 4)
@@ -254,7 +254,7 @@ object SparkEntry {
     // materialized partition-pruned layout)
     "ann_ivf_exact" -> ((s, dir) => {
       val items = embeddingItems(s, dir)
-      val ivfDir = s"/tmp/graft_ivf_${new java.io.File(dir).getName}_8"
+      val ivfDir = s"/tmp/graft_ivf_${ivfKey(s, dir)}_8"
       val ivf = graft.ops.Similarity.materializeIvf(items, nlist = 8, ivfDir)
       val q = items.filter(_._1 == 0L).head()._2
       graft.ops.Similarity.ivfTopKPruned(s, ivf.model, ivfDir, q, 10, nprobe = 8)
@@ -348,6 +348,25 @@ object SparkEntry {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
   }
+
+  /** Key for the materialized /tmp IVF layouts: absolute-path hash +
+    * embeddings content fingerprint. Basename-only keying let two sf
+    * dirs with the same basename under different parents (or
+    * regenerated data at the same path) resume each other's layout —
+    * the documentsFp pattern applied to the ANN caches (one cheap scan,
+    * memoized per session).
+    */
+  private val embFpCache = new scala.collection.concurrent.TrieMap[String, String]()
+  private def ivfKey(s: SparkSession, dir: String): String =
+    embFpCache.getOrElseUpdate(dir, {
+      val r = table(s, dir, "embeddings")
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("ids"),
+          sum(crc32(element_at(col("embedding"), 1).cast("string"))).as("crc"))
+        .collect()(0)
+      java.lang.Long.toHexString(graft.util.Hashing.hash64(0x697666L,
+        new java.io.File(dir).getAbsolutePath,
+        s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}"))
+    })
 
   def documentsLambda(s: SparkSession, dir: String): graft.lambda.LambdaIndex = {
     val sfName = new java.io.File(dir).getName

@@ -27,12 +27,27 @@ object IndexBuilder {
       numParts: Int = 32,
       bm25: BM25.Params = BM25.Params(),
       tokenizer: String = "code", // "code" | "simple"
-      mergeBuckets: Int = 1) { // >1 → the posting merge commits per bucket (mid-merge resume)
+      mergeBuckets: Int = 1, // >1 → the posting merge commits per bucket (mid-merge resume)
+      termBuckets: Int = 0) { // >0 → postings laid out under tbucket=<crc32(term)%B>/ dirs
     // v4: termfreq is per-doc-aggregated with dl inline (no tokenize
     // shuffle); termstats carries per-term ub (max idf-free partial) for
-    // tight a-priori query bounds; meta splits base from epoch stats
+    // tight a-priori query bounds; meta splits base from epoch stats.
+    // tb appears only when enabled so existing v4 stage caches survive.
     def fingerprint: String =
-      s"v4;dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets"
+      s"v4;dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets" +
+        (if (termBuckets > 0) s";tb=$termBuckets" else "")
+  }
+
+  /** Partition bucket of a term under the term-bucketed postings layout
+    * (`tbucket=<this>/` directories). CRC32 over UTF-8 bytes — exactly
+    * Spark's `crc32` function, so the write side computes it as a
+    * codegen'd column and the query side reproduces it driver-side.
+    */
+  def termBucketOf(term: String, buckets: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    val b = term.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    c.update(b, 0, b.length)
+    (c.getValue % buckets).toInt
   }
 
   /** Token stream (doc_id, term) under the configured tokenizer mode. */
@@ -126,30 +141,37 @@ object IndexBuilder {
     // ---- stage 2b: doc lengths + corpus stats -------------------------
     // dl repeats on every (doc, term) row; max ≡ the per-doc value, and
     // map-side partial aggregation collapses each task to ~#docs rows
-    // before the (tiny) shuffle
+    // before the (tiny) shuffle. Corpus stats ride the SAME job as the
+    // write via observe() — the former doclens read-back was one extra
+    // scan + job-scheduling floor per build, pure Amdahl overhead at the
+    // low-core scaling level. Long-only observed aggregates; avgdl is
+    // ONE long/long division (bit-deterministic in any merge order,
+    // unlike avg()'s double partial sums).
     Stage.run(s"$dir/doclens", "doclens", fp) {
+      val obs = org.apache.spark.sql.Observation()
       val dl = spark.read.parquet(s"$dir/termfreq")
         .groupBy($"doc_id").agg(max($"dl").as("dl"))
+        .observe(obs, count(lit(1)).cast("long").as("n"), sum($"dl").as("toks"))
       dl.write.mode("overwrite").parquet(s"$dir/doclens")
-      val st = spark.read.parquet(s"$dir/doclens")
-        .agg(count(lit(1)).cast("long").as("n"), avg($"dl").as("avgdl"), sum($"dl").as("toks"))
-        .collect()(0)
+      val st = obs.get
+      val (n, toks) = (st("n").asInstanceOf[Long], st("toks").asInstanceOf[Long])
       writeMeta(s"$dir/meta.props", Map(
-        "nDocs" -> st.getLong(0).toString,
-        "avgdl" -> st.getDouble(1).toString,
-        "totalTokens" -> st.getLong(2).toString,
+        "nDocs" -> n.toString,
+        "avgdl" -> (toks.toDouble / n).toString,
+        "totalTokens" -> toks.toString,
         // immutable BASE-corpus stats: appends update nDocs/avgdl/
         // totalTokens but derive them from these + per-epoch stats files,
         // so a crashed append can never double-count (idempotent resume)
-        "nDocs0" -> st.getLong(0).toString,
-        "totalTokens0" -> st.getLong(2).toString,
+        "nDocs0" -> n.toString,
+        "totalTokens0" -> toks.toString,
         "docsPerShard" -> p.docsPerShard.toString,
         "numParts" -> p.numParts.toString,
         "k1" -> p.bm25.k1.toString,
         "b" -> p.bm25.b.toString,
         "tokenizer" -> p.tokenizer,
+        "termBuckets" -> p.termBuckets.toString,
         "fingerprint" -> fp))
-      st.getLong(0)
+      n
     }
     val meta = readMeta(s"$dir/meta.props")
     val avgdl = meta("avgdl").toDouble
@@ -168,24 +190,25 @@ object IndexBuilder {
         .filter(pmod($"shard", lit(nBuckets)) === bucket)
         .as[PostingEntry]
       val agg = new PostingAgg(p.bm25, avgdl)
-      entries
+      val lists = entries
         .groupByKey(e => (e.term, e.shard))
         .agg(agg.toColumn)
         .map(_._2)
-        .repartition(math.max(p.numParts / nBuckets, 1), $"shard")
-        .sortWithinPartitions($"shard", $"term")
-        .write.mode("overwrite").parquet(outDir)
+      writePostings(lists.toDF(), outDir, p, math.max(p.numParts / nBuckets, 1))
       -1L
     }
-    // Postings layout guard (a mergeBuckets change alters the directory
-    // SHAPE — root part-files for mb=1 vs bucket=N subdirs — and the
-    // per-bucket stage fingerprints cannot see orphaned siblings from an
-    // older layout; mixed stale+fresh lists would silently corrupt df
-    // stats and query results). The layout marker lives OUTSIDE the
-    // postings dir so per-bucket stage wipes never delete it; any
-    // mismatch wipes the whole postings tree before rebuilding.
+    // Postings layout guard (a mergeBuckets or termBuckets change alters
+    // the directory SHAPE — root part-files vs bucket=N vs tbucket=N
+    // subdirs — and the per-bucket stage fingerprints cannot see
+    // orphaned siblings from an older layout; mixed stale+fresh lists
+    // would silently corrupt df stats and query results). The layout
+    // marker lives OUTSIDE the postings dir so per-bucket stage wipes
+    // never delete it; any mismatch wipes the whole postings tree before
+    // rebuilding. (termBuckets appears only when enabled so markers from
+    // earlier builds stay valid.)
     val layoutPath = Paths.get(s"$dir/postings._layout.props")
-    val wantLayout = s"mergeBuckets=${p.mergeBuckets}\n"
+    val wantLayout = s"mergeBuckets=${p.mergeBuckets}\n" +
+      (if (p.termBuckets > 0) s"termBuckets=${p.termBuckets}\n" else "")
     val haveLayout = if (Files.exists(layoutPath)) Files.readString(layoutPath) else ""
     if (haveLayout != wantLayout) {
       Stage.deleteRecursive(Paths.get(s"$dir/postings"))
@@ -224,6 +247,35 @@ object IndexBuilder {
     new InvertedIndex(spark, dir)
   }
 
+  /** Posting-list write: flat part files sorted by (shard, term) by
+    * default; with termBuckets > 0, a `tbucket=<crc32(term)%B>/`
+    * partitioned layout (the materializeIvf pattern applied to
+    * postings) — a query then opens only its terms' bucket DIRECTORIES
+    * (partition pruning at the parquet source; see
+    * InvertedIndex.postingsFor) instead of every part file, with
+    * (shard, term) row-group pruning intact within each bucket's files.
+    * At 10¹²-file scale this is the difference between opening every
+    * posting part file and opening |query terms| directories.
+    */
+  private def writePostings(lists: DataFrame, outDir: String, p: Params,
+      parts: Int): Unit = {
+    val spark = lists.sparkSession
+    import spark.implicits._
+    if (p.termBuckets > 0) {
+      lists
+        .withColumn("tbucket",
+          pmod(crc32($"term".cast("binary")), lit(p.termBuckets.toLong)).cast("int"))
+        .repartition(parts, $"tbucket")
+        .sortWithinPartitions($"tbucket", $"shard", $"term")
+        .write.mode("overwrite").partitionBy("tbucket").parquet(outDir)
+    } else {
+      lists
+        .repartition(parts, $"shard")
+        .sortWithinPartitions($"shard", $"term")
+        .write.mode("overwrite").parquet(outDir)
+    }
+  }
+
   /** Global per-term stats over posting lists: df plus `ub`, the max
     * idf-free BM25 partial any posting of the term can contribute at the
     * LIVE avgdl (per-list maxPartial lifted by the safe boundFactor when
@@ -235,7 +287,13 @@ object IndexBuilder {
   private def writeTermStats(spark: SparkSession, paths: Seq[String],
       avgdlNow: Double, out: String): Unit = {
     import spark.implicits._
-    spark.read.parquet(paths: _*)
+    // per-root loads (partition discovery over mixed bucket=/tbucket=
+    // roots conflicts on a common base path); only the stats columns
+    // survive to the union, so layout differences between epochs are
+    // invisible here
+    paths.map(p => spark.read.parquet(p)
+        .select($"term", $"df", $"maxPartial", $"encAvgdl"))
+      .reduce(_ union _)
       .groupBy($"term")
       .agg(sum($"df").as("df"),
         max($"maxPartial" *
@@ -326,16 +384,19 @@ object IndexBuilder {
     // — it is derived and committed once, after every stage succeeded,
     // so the accumulation is recomputable and idempotent under resume.
     Stage.run(s"$eDir/doclens", s"doclens/e$epoch", fp) {
+      // stats observed on the SAME job as the write (no read-back scan —
+      // same rationale as the base build's doclens stage)
+      val obs = org.apache.spark.sql.Observation()
       val dl = spark.read.parquet(s"$eDir/termfreq")
         .groupBy($"doc_id").agg(max($"dl").as("dl"))
-      dl.write.mode("overwrite").parquet(s"$eDir/doclens")
-      val st = spark.read.parquet(s"$eDir/doclens")
-        .agg(count(lit(1)).cast("long").as("n"), sum($"dl").as("toks"),
+        .observe(obs, count(lit(1)).cast("long").as("n"), sum($"dl").as("toks"),
           min($"doc_id").as("minId"), max($"doc_id").as("maxId"))
-        .collect()(0)
-      val (m, toks) = (st.getLong(0), st.getLong(1))
-      require(st.getLong(2) == baseDocs && st.getLong(3) == baseDocs + m - 1,
-        s"appended ids must be contiguous from $baseDocs; got [${st.getLong(2)}, ${st.getLong(3)}] for $m docs")
+      dl.write.mode("overwrite").parquet(s"$eDir/doclens")
+      val st = obs.get
+      val (m, toks) = (st("n").asInstanceOf[Long], st("toks").asInstanceOf[Long])
+      val (minId, maxId) = (st("minId").asInstanceOf[Long], st("maxId").asInstanceOf[Long])
+      require(minId == baseDocs && maxId == baseDocs + m - 1,
+        s"appended ids must be contiguous from $baseDocs; got [$minId, $maxId] for $m docs")
       writeMeta(s"$eDir/stats.props", Map("m" -> m.toString, "toks" -> toks.toString))
       m
     }
@@ -350,16 +411,14 @@ object IndexBuilder {
     // sort-merge aggregation as the base build)
     Stage.run(s"$eDir/postings", s"postings/e$epoch", fp) {
       val agg = new PostingAgg(p.bm25, epochAvgdl)
-      spark.read.parquet(s"$eDir/termfreq")
+      val lists = spark.read.parquet(s"$eDir/termfreq")
         .select($"term", ($"doc_id" / lit(p.docsPerShard)).cast("int").as("shard"),
           $"doc_id".as("docId"), $"tf", $"dl")
         .as[PostingEntry]
         .groupByKey(e => (e.term, e.shard))
         .agg(agg.toColumn)
         .map(_._2)
-        .repartition(math.max(p.numParts / 4, 1), $"shard")
-        .sortWithinPartitions($"shard", $"term")
-        .write.mode("overwrite").parquet(s"$eDir/postings")
+      writePostings(lists.toDF(), s"$eDir/postings", p, math.max(p.numParts / 4, 1))
       -1L
     }
 
@@ -402,8 +461,13 @@ object IndexBuilder {
       .toMap
 }
 
-/** Query-side handle over a built index directory. */
-class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
+/** Query-side handle over a built index directory. The session is
+  * driver-only state: task closures capture `this` (for decodeByTerm),
+  * and a serialized SparkSession would drag its ObservationManager —
+  * non-serializable once any observe() ran in the session — into every
+  * task.
+  */
+class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends Serializable {
   import spark.implicits._
 
   lazy val meta: Map[String, String] = IndexBuilder.readMeta(s"$dir/meta.props")
@@ -421,11 +485,39 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
     */
   def termFreqPaths: Seq[String] = epochPaths("termfreq")
 
+  // each epoch root loads separately (partition discovery across roots
+  // with tbucket=/bucket= subdirs conflicts on a common base path); the
+  // union is of identical projections, and filters still push into every
+  // per-root scan
   def postings: Dataset[PostingList] =
-    spark.read.parquet(epochPaths("postings"): _*)
-      // explicit projection: a bucketed layout adds a bucket partition
-      // column that the encoder must not see
-      .select("term", "shard", "df", "docBytes", "tfBytes", "dlBytes", "blockLen",
+    epochPaths("postings").map(p => projectLists(spark.read.parquet(p))).reduce(_ union _)
+
+  /** Postings restricted to `terms`. Under the term-bucketed layout
+    * (Params.termBuckets > 0) the bucket predicate prunes PARTITION
+    * DIRECTORIES at the parquet source — only the query terms' tbucket
+    * dirs are ever opened (asserted as PartitionFilters in IndexSpec) —
+    * and the term predicate then prunes row groups within the surviving
+    * files. On the flat layout it degrades to the plain pushed term
+    * filter over (shard, term)-sorted part files.
+    */
+  def postingsFor(terms: Seq[String]): Dataset[PostingList] = {
+    val tb = meta.getOrElse("termBuckets", "0").toInt
+    val buckets =
+      if (tb > 0) terms.map(t => IndexBuilder.termBucketOf(t, tb)).distinct else Nil
+    epochPaths("postings").map { p =>
+      val raw = spark.read.parquet(p)
+      val pruned =
+        if (tb > 0 && raw.columns.contains("tbucket"))
+          raw.filter($"tbucket".isin(buckets: _*))
+        else raw
+      projectLists(pruned.filter($"term".isin(terms: _*)))
+    }.reduce(_ union _)
+  }
+
+  // explicit projection: bucketed layouts add partition columns
+  // (bucket/tbucket) that the encoder must not see
+  private def projectLists(df: DataFrame): Dataset[PostingList] =
+    df.select("term", "shard", "df", "docBytes", "tfBytes", "dlBytes", "blockLen",
         "blockLastDoc", "blockDocOff", "blockTfOff", "blockDlOff",
         "blockMaxPartial", "maxPartial", "encAvgdl")
       .as[PostingList]
@@ -478,8 +570,7 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
     val idf = idfFor(terms)
     val p = bm25
     val ad = avgdl
-    val hits = postings
-      .filter($"term".isin(terms: _*))
+    val hits = postingsFor(terms)
       .groupByKey(_.shard)
       .flatMapGroups { (_, it) =>
         Wand.topKLists(it.toSeq, idf, p, ad, k).iterator.map(h => (h.docId, h.score))
@@ -514,8 +605,7 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
     val setList: Seq[(Int, Seq[String])] = setOf.toSeq.map(_.swap).sortBy(_._1)
     val p = bm25
     val ad = avgdl
-    val hits = postings
-      .filter($"term".isin(allTerms: _*))
+    val hits = postingsFor(allTerms)
       .groupByKey(_.shard)
       .flatMapGroups { (_, it) =>
         // decode each posting list ONCE; all sets share the decoded
@@ -568,8 +658,7 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
     val idf = idfFor(allTerms)
     val p = bm25
     val ad = avgdl
-    postings
-      .filter($"term".isin(allTerms: _*))
+    postingsFor(allTerms)
       .groupByKey(_.shard)
       .flatMapGroups { (_, it) =>
         val byTerm = decodeByTerm(it, p, ad)
@@ -603,8 +692,7 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
     val idf = idfFor(terms)
     val p = bm25
     val ad = avgdl
-    postings
-      .filter($"term".isin(terms: _*))
+    postingsFor(terms)
       .groupByKey(_.shard)
       .flatMapGroups { (_, it) =>
         val cursors = it.toSeq.sortBy(_.term)
@@ -623,8 +711,7 @@ class InvertedIndex(spark: SparkSession, val dir: String) extends Serializable {
     val idf = idfFor(terms)
     val p = bm25
     val ad = avgdl
-    postings
-      .filter($"term".isin(terms: _*))
+    postingsFor(terms)
       .flatMap { pl =>
         val w = idf(pl.term)
         val (ids, tfs, dls) = PostingFormat.decodeAll(pl)

@@ -368,10 +368,13 @@ object EnergyMaps {
     val mode = built.tau
     // per-item λ comes from the BUILT λ table (a LEFT join on id — one
     // scan of the cached λ table per query instead of re-running the
-    // synthetic-λ pass over every vector); items absent from the build
-    // set (mutated/extra rows — the old contract scored ANY items
-    // dataset) fall back to the on-the-fly computation, so the result
-    // set never silently shrinks
+    // synthetic-λ pass over every vector). Only ids ABSENT from the
+    // build set fall back to the on-the-fly computation (so extra rows
+    // are still scored and the result set never silently shrinks); a
+    // row whose id exists in the build but whose VECTOR was mutated
+    // keeps the build-time λ — index-owned-items semantics, matching
+    // the reference where mutation triggers recompute_lambdas
+    // (core.rs:614-705): callers mutating vectors must rebuild
     val scored = items.toDF("id", "vec")
       .join(built.lambdas, Seq("id"), "left")
       .as[(Long, Array[Double], Option[Double])]

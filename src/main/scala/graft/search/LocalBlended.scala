@@ -6,14 +6,17 @@ import graft.index.DecodedCursor
   * [[LocalSearcher]] — answers α·BM25̂ + (1−α)·λ-proximity top-k with no
   * Spark job, directly comparable to the reference's in-process blended
   * criterion numbers (/root/reference/benches/base_index_bench.json:
-  * 8.65 ms per α=0.9 top-3 query).
+  * 8.65 ms per α=0.9 top-3 query). Driver-side only.
   *
   * A replica holds its shard range's pre-decoded posting lists (via the
   * wrapped LocalSearcher) plus the SAME range's λ slice — per-doc λ for
   * shard s covers docIds [s·docsPerShard, (s+1)·docsPerShard), so the
   * λ slice is exactly the doc-shard layout the posting slice already
-  * follows. idf/ub statistics stay global, so replica results merge
-  * exactly (same argument as LocalSearcher.mergeTopK).
+  * follows. idf/ub statistics stay global but are fetched LAZILY per
+  * query through the index's termInfo memo (a replica needs only its
+  * working set of query terms, never the full termstats table — which
+  * is not collectable at 10¹²-doc scale), so replica results still
+  * merge exactly (same argument as LocalSearcher.mergeTopK).
   *
   * Query path = the distributed LambdaIndex.blendedTopK semantics
   * verbatim: slack = (1−α)/α·ubNorm capped at the query's max
@@ -26,25 +29,56 @@ import graft.index.DecodedCursor
 final class LocalBlended(
     val searcher: LocalSearcher,
     val lambdas: java.util.HashMap[Long, java.lang.Double],
-    val termUb: Map[String, Double],
     val queryLambda: Map[String, Int] => Double,
-    val tokenize: String => Array[String]) extends Serializable {
+    val tokenize: String => Array[String]) {
 
   def topK(qText: String, k: Int, alpha: Double): Array[Wand.Hit] = {
     val toks = tokenize(qText)
     val counts = toks.toSeq.groupBy(identity).map { case (t, xs) => t -> xs.size }
     val lq = queryLambda(counts)
-    // terms filter + ubNorm/tightUb come from GLOBAL stats (termDf /
-    // termUb cover the whole index) — NOT from this replica's slice-
+    // terms filter + ubNorm/tightUb come from GLOBAL stats (the index's
+    // termInfo covers the whole index) — NOT from this replica's slice-
     // local byTerm: a term absent from this shard range must still
     // contribute to the normalizer, or replicas score on different
     // scales and the fan-out merge stops being exact
-    val terms = toks.distinct.filter(searcher.termDf.contains).sorted
+    val info = searcher.termInfoFn(toks.distinct.toSeq)
+    topKCanonical(toks.distinct.filter(info.contains).sorted.toSeq, lq, info, k, alpha)
+  }
+
+  /** Batched serving: the canonical-set dedup of the distributed
+    * blendedTopKBatch applied driver-side — tokenize, λq, global-stat
+    * fetch (ONE termInfo call for the whole batch), and the banded WAND
+    * + blend run once per DISTINCT (indexed term set, λq), then fan
+    * back out to every query id. ≡ sequential topK calls (asserted in
+    * LambdaPipelineSpec); throughput follows distinct canonical sets,
+    * not batch size.
+    */
+  def topKBatch(queries: Seq[(Int, String)], k: Int,
+      alpha: Double): Seq[(Int, Array[Wand.Hit])] = {
+    val prep = queries.map { case (qid, text) =>
+      val toks = tokenize(text)
+      val counts = toks.toSeq.groupBy(identity).map { case (t, xs) => t -> xs.size }
+      (qid, toks.distinct.sorted.toSeq, queryLambda(counts))
+    }
+    val info = searcher.termInfoFn(prep.flatMap(_._2).distinct)
+    val canon = prep.map { case (qid, ts, lq) => (qid, (ts.filter(info.contains), lq)) }
+    val results: Map[(Seq[String], Double), Array[Wand.Hit]] =
+      canon.map(_._2).distinct.map { case key @ (ts, lq) =>
+        key -> topKCanonical(ts, lq, info, k, alpha)
+      }.toMap
+    canon.map { case (qid, key) => qid -> results(key) }
+  }
+
+  /** One canonical (sorted indexed term set, λq) evaluated over this
+    * replica's slice: per-shard slack-banded WAND, λ blend, exact heap
+    * merge.
+    */
+  private def topKCanonical(terms: Seq[String], lq: Double,
+      info: Map[String, (Double, Double)], k: Int, alpha: Double): Array[Wand.Hit] = {
     if (terms.isEmpty) return Array.empty
-    val idf = terms.map(t => t -> searcher.idf(t)).toMap
     val k1p1 = searcher.params.k1 + 1.0
-    val ubNorm = math.max(terms.map(idf(_) * k1p1).sum, 1e-12)
-    val tightUb = terms.map(t => idf(t) * termUb.getOrElse(t, k1p1)).sum
+    val ubNorm = math.max(terms.map(info(_)._1 * k1p1).sum, 1e-12)
+    val tightUb = terms.map(t => info(t)._1 * info(t)._2).sum
     val slack =
       if (alpha <= 0.0) tightUb
       else math.min((1.0 - alpha) / alpha * ubNorm, tightUb)
@@ -58,7 +92,7 @@ final class LocalBlended(
       })
     byShard.toSeq.sortBy(_._1).foreach { case (_, lists) =>
       val cursors = lists.sortBy(_.term)
-        .map(dl => new DecodedCursor(dl, idf(dl.term))).toSeq
+        .map(dl => new DecodedCursor(dl, info(dl.term)._1)).toSeq
       Wand.candidatesWithSlack(cursors, k, slack).foreach { h =>
         val lam = lambdas.get(h.docId)
         val prox = 1.0 - math.min(math.abs(lq - (if (lam == null) 0.0 else lam.doubleValue())), 1.0)
@@ -80,10 +114,12 @@ final class LocalBlended(
 object LocalBlended {
 
   /** Collect a replica: posting lists + λ slice for [shardLo, shardHi]
-    * (two pushed-filter scans), global term stats, and the λ-index
-    * query-side closure (vocab + CSR already live on the driver in
-    * LambdaIndex). docsPerShard comes from the index meta so the λ
-    * slice matches the posting slice exactly.
+    * (two pushed-filter scans) and the λ-index query-side closure
+    * (vocab + CSR already live on the driver in LambdaIndex); global
+    * (idf, ub) term stats are NOT collected — the wrapped searcher's
+    * termInfoFn fetches each query's working set lazily. docsPerShard
+    * comes from the index meta so the λ slice matches the posting slice
+    * exactly.
     */
   def fromIndexes(index: graft.index.InvertedIndex,
       lam: graft.lambda.LambdaIndex,
@@ -98,12 +134,10 @@ object LocalBlended {
         col("doc_id") >= shardLo.toLong * dps &&
           col("doc_id") < (shardHi.toLong + 1L) * dps)
     lamDf.collect().foreach(r => lamMap.put(r.getLong(0), r.getDouble(1)))
-    val ub = index.termStats.collect()
-      .map(r => r.getString(0) -> r.getDouble(2)).toMap
     val tokMode = index.meta.getOrElse("tokenizer", "code")
     val fn: String => Array[String] =
       if (tokMode == "simple") graft.tokenize.CodeTokenizer.simpleTokens
       else graft.tokenize.CodeTokenizer.codeTokens
-    new LocalBlended(searcher, lamMap, ub, lam.queryLambda, fn)
+    new LocalBlended(searcher, lamMap, lam.queryLambda, fn)
   }
 }

@@ -1,6 +1,6 @@
 package graft.search
 
-import graft.index.{InvertedIndex, PostingList}
+import graft.index.InvertedIndex
 
 /** In-memory serving mode: the whole compressed index (or a hot shard
   * subset) collected once, then block-max WAND runs without any Spark
@@ -9,26 +9,31 @@ import graft.index.{InvertedIndex, PostingList}
   * (/root/reference/benches/base_index_bench.json: 8–19 ms per top-3
   * query). The distributed path (InvertedIndex.wandTopK/wandTopKBatch)
   * remains the scale path; this is the low-latency serving tier a search
-  * cluster would run per replica over its shard range.
+  * cluster would run per replica over its shard range. Driver-side only.
+  *
+  * Term statistics are NOT collected up front: at 10¹²-doc scale the
+  * full termstats table is not collectable, but a serving process's
+  * working set of query terms is — `termInfoFn` lazily fetches (idf,
+  * ub) per query through InvertedIndex.termInfo's memo (one tiny
+  * pushed-filter scan per cold term set, then pure in-memory).
   */
 final class LocalSearcher(
     val byTerm: Map[String, Array[graft.index.DecodedList]],
-    val termDf: Map[String, Long],
+    val termInfoFn: Seq[String] => Map[String, (Double, Double)],
     val nDocs: Long,
     val avgdl: Double,
-    val params: BM25.Params) extends Serializable {
-
-  def idf(term: String): Double =
-    BM25.idf(nDocs.toDouble, termDf.getOrElse(term, 0L).toDouble)
+    val params: BM25.Params) {
 
   /** Exact top-k (score DESC, docId ASC) over pre-decoded lists: O(1)
     * cursor setup per (query, term, shard); WAND per shard, shard top-ks
-    * merged.
+    * merged. idf comes from GLOBAL stats (termInfoFn), so a shard-range
+    * replica scores identically to the full searcher and fan-out merges
+    * stay exact.
     */
   def topK(qTerms: Seq[String], k: Int): Array[Wand.Hit] = {
     val terms = qTerms.distinct.filter(byTerm.contains).sorted
     if (terms.isEmpty) return Array.empty
-    val idfMap = terms.map(t => t -> idf(t)).toMap
+    val idfMap = termInfoFn(terms).map { case (t, (i, _)) => t -> i }
     val byShard = terms.flatMap(t => byTerm(t)).groupBy(_.shard)
     val all = byShard.toSeq.sortBy(_._1).iterator.flatMap { case (_, lists) =>
       val cursors = lists.sortBy(_.term)
@@ -50,9 +55,10 @@ object LocalSearcher {
     * The shard predicate pushes to the postings parquet scan (shard is a
     * sorted column → row-group pruning), so a replica reads ONLY its
     * slice from storage. idf statistics (termstats, nDocs, avgdl) stay
-    * GLOBAL regardless of the slice, so replica scores are identical to
-    * the full searcher's and a fan-out tier can merge replica top-ks by
-    * (score DESC, docId ASC) exactly.
+    * GLOBAL regardless of the slice — fetched lazily per query via the
+    * index's termInfo memo, never as a full termstats collect — so
+    * replica scores are identical to the full searcher's and a fan-out
+    * tier can merge replica top-ks by (score DESC, docId ASC) exactly.
     */
   def fromIndex(index: InvertedIndex, shardLo: Int = 0,
       shardHi: Int = Int.MaxValue): LocalSearcher = {
@@ -63,9 +69,7 @@ object LocalSearcher {
       .filter(col("shard") >= shardLo && col("shard") <= shardHi)
       .collect().map(pl => graft.index.DecodedList.from(pl, p, ad))
     val byTerm = lists.groupBy(_.term).map { case (t, ls) => t -> ls.sortBy(_.shard) }
-    val df = index.termStats.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    new LocalSearcher(byTerm, df, index.nDocs, index.avgdl, index.bm25)
+    new LocalSearcher(byTerm, index.termInfo, index.nDocs, index.avgdl, index.bm25)
   }
 
   /** Merge per-replica top-ks (each already (score DESC, docId ASC)

@@ -41,8 +41,7 @@ object CodeTokenizer {
     val n = text.length
     var i = 0
     while (i < n) {
-      var c = text.charAt(i)
-      if (!isWordChar(c)) { i += 1 }
+      if (!isWordChar(text.charAt(i))) { i += 1 }
       else {
         // found a word [i, j): alnum or underscore run
         var j = i
@@ -50,7 +49,6 @@ object CodeTokenizer {
         splitIdentifier(text, i, j, out)
         i = j
       }
-      if (i < n) c = text.charAt(i) // keep locals warm; no-op
     }
     out.toArray
   }

@@ -325,6 +325,52 @@ class IndexSpec extends AnyFunSuite {
     assert(idx2.wandTopK(Seq("get"), 3).count() == 3)
   }
 
+  test("term-bucketed postings layout: identical results; single-term queries prune partitions") {
+    val t4 = Files.createTempDirectory("graft-idx-tb").toString
+    val params = IndexBuilder.Params(docsPerShard = 128L, numParts = 8, termBuckets = 8)
+    val idxT = IndexBuilder.build(spark, CodeCorpus.generate(spark, nFiles, 42L, 8),
+      s"$t4/idx", corpusFp = s"synthetic:42:$nFiles", params)
+    // tbucket=<b>/ partition dirs exist on disk
+    val parts = new java.io.File(s"$t4/idx/postings").listFiles()
+      .filter(_.getName.startsWith("tbucket="))
+    assert(parts.nonEmpty && parts.length <= 8, s"got ${parts.length} tbucket dirs")
+    // identical ranking vs the flat layout for every query class
+    val needleHex = graft.tokenize.CodeTokenizer.codeTokens(CodeCorpus.needleToken(42L, 17L))(1)
+    for (q <- Seq(Seq("get"), Seq("data", "index", "merge"), Seq(needleHex))) {
+      val a = idxT.wandTopK(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = index.wandTopK(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"q=$q: $a vs $b")
+    }
+    // the bucket predicate must reach the scan as PartitionFilters (files
+    // outside the query terms' buckets are never opened), with the term
+    // predicate still pushed for row-group pruning inside the bucket
+    val hits = idxT.postingsFor(Seq("get"))
+    val scan = hits.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*tbucket".r
+    assert(pf.findFirstIn(scan).isDefined, s"no tbucket PartitionFilters in:\n$scan")
+    assert(scan.contains("PushedFilters") && scan.contains("term"), scan)
+    // files-opened accounting: pruning reduces the single-term query to
+    // its one bucket directory's files
+    def partFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(partFiles)
+      else if (f.getName.startsWith("part-")) Seq(f) else Seq.empty
+    val total = partFiles(new java.io.File(s"$t4/idx/postings")).size
+    val inBucket = partFiles(new java.io.File(
+      s"$t4/idx/postings/tbucket=${IndexBuilder.termBucketOf("get", 8)}")).size
+    assert(inBucket < total, s"pruned bucket has $inBucket of $total files — no reduction")
+    // an appended epoch keeps the bucketed layout and stays exact
+    import spark.implicits._
+    val extra = spark.createDataset((nFiles until nFiles + 100L).map(id => CodeCorpus.file(42L, id)))
+    val app = IndexBuilder.append(spark, extra, s"$t4/idx", appendFp = "e1:tb", params)
+    assert(new java.io.File(s"$t4/idx/epochs/e1/postings").listFiles()
+      .exists(_.getName.startsWith("tbucket=")))
+    for (q <- Seq(Seq("get"), Seq("data", "index", "merge"))) {
+      val w = app.wandTopK(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val e = app.exactTopK(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(w == e, s"q=$q appended bucketed: $w vs $e")
+    }
+  }
+
   test("docId assignment is deterministic across rebuilds") {
     val t2 = Files.createTempDirectory("graft-index2").toString
     val idx2 = IndexBuilder.build(

@@ -193,6 +193,70 @@ class LambdaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LocalBlended.topKBatch ≡ sequential topK calls (canonical-set dedup)") {
+    val lb = graft.search.LocalBlended.fromIndexes(index, li)
+    val queries = Seq(
+      0 -> "get value data",
+      1 -> "merge sort batch",
+      2 -> "get value data", // exact repeat: dedup must not change results
+      3 -> "data get value", // same canonical set, different token order
+      4 -> "zz_not_a_term_zz", // fully OOV → empty result
+      5 -> "lambda energy")
+    for (alpha <- Seq(1.0, 0.9, 0.7)) {
+      val batch = lb.topKBatch(queries, 10, alpha).toMap
+      assert(batch.keySet == queries.map(_._1).toSet)
+      for ((qid, text) <- queries) {
+        val single = lb.topK(text, 10, alpha).map(h => (h.docId, h.score)).toSeq
+        val b = batch(qid).map(h => (h.docId, h.score)).toSeq
+        assert(b == single, s"alpha=$alpha qid=$qid: $b vs $single")
+      }
+    }
+  }
+
+  test("zero-in-vocab docs: λ fill-in is 0 and blend rank ≡ pure BM25 (pinned)") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-lp-oov").toString
+    // 60 normal docs + 3 docs built ONLY from terms outside the pruned
+    // vocabulary (df ≤ 3 « the top-32 cutoff)
+    val docs = (0L until 60L).map { id =>
+      val f = CodeCorpus.file(7L, id)
+      graft.index.DocIds.Doc(id, f.repo, f.path, f.commit, f.lang, f.content)
+    } ++ Seq(
+      graft.index.DocIds.Doc(60L, "r", "a", "c", "scala", "zzshared zzonly60"),
+      graft.index.DocIds.Doc(61L, "r", "b", "c", "scala", "zzshared zzshared zzonly61 zzonly61b"),
+      graft.index.DocIds.Doc(62L, "r", "c", "c", "scala",
+        "zzshared zzonly62 zzonly62b zzonly62c zzonly62d"))
+    val p = IndexBuilder.Params(docsPerShard = 16L, numParts = 4)
+    val idx = IndexBuilder.buildFromDocs(spark, spark.createDataset(docs), s"$t/idx",
+      corpusFp = "oov:7:63", p)
+    val lo = LambdaPipeline.build(spark, idx, s"$t/lam",
+      LambdaPipeline.Config(vocabSize = 32, maxClusters = 8, seed = 42L))
+    assert(lo.vocab.keySet.intersect(Set("zzshared", "zzonly60", "zzonly61")).isEmpty)
+    // zero in-vocab terms → the docterms vocab join drops these docs →
+    // NO λ row (the blend's left-join na.fill(0.0) is their only λ)
+    val ids = lo.lambdas.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Seq(60L, 61L, 62L).forall(id => !ids.contains(id)), s"expected no λ rows, got $ids")
+    // a query matching ONLY λ-less docs: prox is the constant
+    // 1 − min(|lq − 0|, 1) for every candidate, so the blended rank must
+    // equal the pure BM25 rank at every α — and the scores must be the
+    // exact λ=0 fill-in blend
+    for (alpha <- Seq(0.9, 0.5, 0.2)) {
+      val blend = lo.blendedTopK(idx, "zzshared", 10, alpha).collect()
+      val wand = idx.wandTopK(Seq("zzshared"), 10).collect().map(_.getLong(0)).toSeq
+      assert(blend.map(_.getLong(0)).toSeq == wand, s"alpha=$alpha")
+      val info = idx.termInfo(Seq("zzshared"))
+      val ubNorm = info.values.map(_._1 * (idx.bm25.k1 + 1.0)).sum.max(1e-12)
+      val lq = lo.queryLambda(Map("zzshared" -> 1)) // OOV query → λq = 0
+      val exact = idx.scoreAllMatching(Seq("zzshared")).collect()
+        .map(r => (r.getLong(0), alpha * r.getDouble(1) / ubNorm +
+          (1 - alpha) * (1.0 - math.min(math.abs(lq), 1.0))))
+        .sortBy { case (id2, s) => (-s, id2) }.take(10).toSeq
+      val got = blend.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == exact.map(_._1), s"alpha=$alpha: $got vs $exact")
+      got.zip(exact).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
+
   test("λ pipeline covers appended epochs: every epoch doc gets a λ; blend stays exact") {
     import spark.implicits._
     val p = IndexBuilder.Params(docsPerShard = 128L, numParts = 6)

@@ -107,6 +107,16 @@ object SparkEntry {
     "wand_topk_appended" -> ((s, dir) => {
       documentsIndexAppended(s, dir).wandTopK(Seq("spark", "merge", "window"), 10, roundTo = 4)
     }),
+    // batched WAND (decode-once lists + map-side TopKAgg rank): per-qid
+    // ranks must equal the plain SQL BM25 ranking — the pure-BM25 batch
+    // path's own oracle gate (blended_batch_alpha1 covers the blended
+    // batch; this covers wandTopKBatch directly)
+    "wand_topk_batch" -> ((s, dir) => {
+      documentsIndex(s, dir).wandTopKBatch(Seq(
+          0 -> Seq("stream", "merge", "window"),
+          1 -> Seq("spark", "query", "vector")), 10)
+        .select(col("qid"), col("rank"), col("doc_id"))
+    }),
 
     // -- dense vector regime over the embeddings table -------------------
     "cosine_topk" -> ((s, dir) => {
@@ -460,6 +470,12 @@ object SparkEntry {
     "bm25_topk" -> bm25OracleSql(Seq("spark", "query", "vector"), 10),
     "wand_topk" -> bm25OracleSql(Seq("stream", "merge", "window"), 10),
     "wand_topk_appended" -> bm25OracleSql(Seq("spark", "merge", "window"), 10),
+    "wand_topk_batch" ->
+      s"""SELECT 0 AS qid, rank, doc_id
+         |FROM (${bm25RankOracleSql(Seq("stream", "merge", "window"), 10)}) t0
+         |UNION ALL
+         |SELECT 1 AS qid, rank, doc_id
+         |FROM (${bm25RankOracleSql(Seq("spark", "query", "vector"), 10)}) t1""".stripMargin,
     "blended_appended_alpha1" -> bm25RankOracleSql(Seq("spark", "merge", "window"), 10),
     "blended_alpha1" -> {
       // identical CTEs to the BM25 oracle, but emit (rank, doc_id):

@@ -592,7 +592,6 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
     * (score DESC, doc_id ASC) within qid.
     */
   def wandTopKBatch(queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val allTerms = queries.flatMap(_._2).distinct
     val idf = idfFor(allTerms)
     // Canonicalize and DEDUP term sets before execution: real query
@@ -625,10 +624,22 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
         }
       }
       .toDF("set_id", "doc_id", "score")
-    val w = Window.partitionBy($"set_id").orderBy($"score".desc, $"doc_id".asc)
+    // per-set global top-k via the map-side-combining TopKAgg heap
+    // aggregator (shared with blendedTopKBatch): a Window + row_number
+    // here full-sort-shuffled the ~sets×shards×k hit rows (10⁷ at the
+    // bench batch size) — the measured non-scaling stage of the batch
+    // QPS path; partial heaps ship ≤ tasks × sets × k rows and nothing
+    // is ever globally sorted
+    val agg = new graft.search.TopKAgg(k)
     val setTop = hits
-      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
-      .filter($"rank" <= k)
+      .as[(Int, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(v => graft.search.ScoredDoc(v._2, v._3))
+      .agg(agg.toColumn)
+      .flatMap { case (sid, top) =>
+        top.iterator.zipWithIndex.map { case (h, i) => (sid, h.docId, h.score, i + 1) }
+      }
+      .toDF("set_id", "doc_id", "score", "rank")
     // fan the per-set top-k back out to every qid that asked for it
     val qMap = qNorm.map { case (qid, ts) => (qid, setOf(ts)) }.toDF("qid", "set_id")
     setTop.join(broadcast(qMap), "set_id")

@@ -216,15 +216,25 @@ object Bench {
       val extBatch = extCores(sq0, snap())
       // single-query latencies: distributed path (Spark job per query)
       // AND the in-memory serving tier (LocalSearcher — comparable to the
-      // reference's in-process 8-19 ms criterion numbers)
+      // reference's in-process 8-19 ms criterion numbers). The singles
+      // block gets its own ext window — a wave arriving after the batch
+      // snapshot must not publish 2× serving latencies as a calm record
+      val ss0 = snap()
       val singles =
         if (!singlesToo) Map.empty[String, Double]
         else benchSingles(spark, index, nFiles, dirBase, cpus)
+      val extSingles = if (singlesToo) extCores(ss0, snap()) else -1.0
       val probe = Map(
         "load_pre" -> loadPre,
         "load_post" -> loadAvg1(),
         "ext_build" -> extBuild,
-        "ext_batch" -> extBatch) ++ stageWallMs(dir)
+        "ext_batch" -> extBatch) ++
+        (if (singlesToo) Map("ext_singles" -> extSingles) else Map.empty) ++
+        stageWallMs(dir)
+      // attempt dirs are single-use (a resumed dir would time nothing) —
+      // drop the index now so a retry-heavy run can't accumulate one
+      // full index per attempt in /tmp
+      Stage.deleteRecursive(java.nio.file.Paths.get(dir))
       LevelResult(cpus, buildSec, nFiles / buildSec, batchSec,
         BatchSize.toDouble / batchSec, singles, probe)
     } finally spark.stop()
@@ -356,9 +366,18 @@ object Bench {
       if (parts.length > 7) kvParse(parts(7)) else Map.empty)
   }
 
-  /** Worst external load over an attempt's timed phases. */
+  /** Worst external load over an attempt's timed phases (build, batch,
+    * and — on the singles level — the whole latency/blended block). A
+    * failed probe (-1 from any /proc read error) maps to exactly the
+    * threshold: the attempt is ACCEPTED (retrying blind would burn the
+    * budget with no signal) but can never outrank a measured-calm
+    * attempt in best-of selection.
+    */
   private def extOf(r: LevelResult): Double =
-    math.max(r.probe.getOrElse("ext_build", -1.0), r.probe.getOrElse("ext_batch", -1.0))
+    Seq("ext_build", "ext_batch", "ext_singles")
+      .flatMap(r.probe.get)
+      .map(v => if (v < 0.0) ExtThreshold else v) // per-phase: unknown ≠ calm
+      .max
 
   case class AttemptLog(level: Int, pair: Int, tryNo: Int, r: LevelResult,
       var accepted: Boolean)
@@ -483,6 +502,7 @@ object Bench {
       s"""{"level":${a.level},"pair":${a.pair},"try":${a.tryNo},"accepted":${a.accepted},""" +
         s""""load_pre":${f(p.getOrElse("load_pre", -1.0))},"load_post":${f(p.getOrElse("load_post", -1.0))},""" +
         s""""ext_build":${f(p.getOrElse("ext_build", -1.0))},"ext_batch":${f(p.getOrElse("ext_batch", -1.0))},""" +
+        s""""ext_singles":${f(p.getOrElse("ext_singles", -1.0))},""" +
         s""""build_files_per_sec":${f(a.r.filesPerSec)},"qps":${f(a.r.qps)}}"""
     }.mkString("[", ",", "]")
     val stageJson = stageRows.map { case (s, m1, m4, e) =>
@@ -514,6 +534,7 @@ object Bench {
         val p = a.r.probe
         s"| ${a.level} | ${a.pair} | ${a.tryNo} | ${if (a.accepted) "yes" else "no"} " +
           s"| ${f(p.getOrElse("ext_build", -1.0))} | ${f(p.getOrElse("ext_batch", -1.0))} " +
+          s"| ${f(p.getOrElse("ext_singles", -1.0))} " +
           s"| ${f(p.getOrElse("load_pre", -1.0))}→${f(p.getOrElse("load_post", -1.0))} " +
           s"| ${f(a.r.filesPerSec)} | ${f(a.r.qps)} |"
       }.mkString("\n")
@@ -563,8 +584,8 @@ object Bench {
            |Attempt log (ext_* = external busy cores measured across the
            |phase; the contention evidence for this record):
            |
-           || level | pair | try | accepted | ext_build | ext_batch | load pre→post | files/s | qps |
-           || --- | --- | --- | --- | --- | --- | --- | --- | --- |
+           || level | pair | try | accepted | ext_build | ext_batch | ext_singles | load pre→post | files/s | qps |
+           || --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |
            |$attemptTable
            |
            |Batch protocol: $BatchSize queries per job; the batch path

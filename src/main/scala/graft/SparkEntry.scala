@@ -363,8 +363,10 @@ object SparkEntry {
     * embeddings content fingerprint. Basename-only keying let two sf
     * dirs with the same basename under different parents (or
     * regenerated data at the same path) resume each other's layout —
-    * the documentsFp pattern applied to the ANN caches (one cheap scan,
-    * memoized per session).
+    * the documentsFp pattern applied to the ANN caches. One cheap scan,
+    * memoized per session (same contract as documentsFp: regeneration
+    * at the same path is caught across processes — the driver's runs
+    * are fresh JVMs — not within one live session).
     */
   private val embFpCache = new scala.collection.concurrent.TrieMap[String, String]()
   private def ivfKey(s: SparkSession, dir: String): String =

@@ -45,7 +45,7 @@ object QpsProbe {
           val t2 = System.nanoTime()
           index.wandTopKBatch(batch, 10).count()
           val sec = (System.nanoTime() - t2) / 1e9
-          println(f"PROBE cpus=$cpus rep=$r scan=$scanSec%.3f scan+decode=$decodeSec%.3f full=$sec%.3f qps=${4096 / sec}%.1f")
+          println(f"PROBE cpus=$cpus rep=$r scan=$scanSec%.3f scan+decode=$decodeSec%.3f full=$sec%.3f qps=${nq / sec}%.1f")
         }
       } finally spark.stop()
     }

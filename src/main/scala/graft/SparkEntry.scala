@@ -295,6 +295,18 @@ object SparkEntry {
           row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
         .select(col("rank"), col("doc_id"))
     }),
+    // INCREMENTAL λ ingest (frozen-graph appendEpochs) at α=1: the
+    // union λ table (base pipeline + per-epoch incremental dirs) must
+    // blend to the full-corpus BM25 ranking — exercises the
+    // O(new docs) snapshot-ingest λ path end-to-end
+    "blended_appended_inc_alpha1" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (idx, li) = documentsLambdaInc(s, dir)
+      li.blendedTopK(idx, "spark merge window", 10, alpha = 1.0)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("rank"), col("doc_id"))
+    }),
     // batched blended search at α=1: per-query ranks must equal the pure
     // BM25 ranking (the batch serving path's rank-identity oracle)
     "blended_batch_alpha1" -> ((s, dir) => {
@@ -443,6 +455,39 @@ object SparkEntry {
       appendFp = s"documents-epoch1:$dir:$fp", p)
   }
 
+  /** Dedicated base index + λ pipeline for the INCREMENTAL ingest gate:
+    * base half indexed and λ-built first, the second half appended as an
+    * epoch, then `LambdaPipeline.appendEpochs` computes λ for ONLY the
+    * epoch's docs under the frozen base graph. On re-runs against the
+    * same /tmp state the index already carries the epoch, so the λ build
+    * takes the full-rebuild path and appendEpochs no-ops — both
+    * generations produce the same α=1 ranks (the gate's oracle), and the
+    * incremental path itself is pinned exactly in LambdaPipelineSpec.
+    */
+  private def documentsLambdaInc(
+      s: SparkSession, dir: String): (graft.index.InvertedIndex, graft.lambda.LambdaIndex) = {
+    import s.implicits._
+    val fp = documentsFp(s, dir)
+    val half = fp.split(":")(0).toLong / 2
+    def docsPart(low: Boolean) = table(s, dir, "documents")
+      .filter(if (low) col("doc_id") < half else col("doc_id") >= half)
+      .select(col("doc_id").as("docId"), col("source").as("repo"),
+        col("doc_id").cast("string").as("path"), lit("").as("commit"),
+        col("lang"), col("text").as("content"))
+      .as[graft.index.DocIds.Doc]
+    val sfName = new java.io.File(dir).getName
+    val idxDir = s"/tmp/graft_docidx_inc_$sfName"
+    val lamDir = s"/tmp/graft_doclam_inc_$sfName"
+    val p = graft.index.IndexBuilder.Params(docsPerShard = 64L, numParts = 8, tokenizer = "simple")
+    val base = graft.index.IndexBuilder.buildFromDocs(s, docsPart(low = true), idxDir,
+      corpusFp = s"documents-base:$dir:$fp", p)
+    graft.lambda.LambdaPipeline.build(s, base, lamDir,
+      graft.lambda.LambdaPipeline.Config(vocabSize = 256, maxClusters = 16, seed = 42L))
+    val appended = graft.index.IndexBuilder.appendFromDocs(s, docsPart(low = false), idxDir,
+      appendFp = s"documents-epoch1:$dir:$fp", p)
+    (appended, graft.lambda.LambdaPipeline.appendEpochs(s, appended, lamDir))
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -479,6 +524,7 @@ object SparkEntry {
          |SELECT 1 AS qid, rank, doc_id
          |FROM (${bm25RankOracleSql(Seq("spark", "query", "vector"), 10)}) t1""".stripMargin,
     "blended_appended_alpha1" -> bm25RankOracleSql(Seq("spark", "merge", "window"), 10),
+    "blended_appended_inc_alpha1" -> bm25RankOracleSql(Seq("spark", "merge", "window"), 10),
     "blended_alpha1" -> {
       // identical CTEs to the BM25 oracle, but emit (rank, doc_id):
       // α=1 blending rescales scores by a positive constant, so ranks

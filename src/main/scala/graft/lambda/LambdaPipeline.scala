@@ -1,6 +1,7 @@
 package graft.lambda
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.index.{IndexBuilder, InvertedIndex, Stage}
@@ -175,7 +176,91 @@ object LambdaPipeline {
         .write.mode("overwrite").parquet(s"$dir/lambdas")
       spark.read.parquet(s"$dir/lambdas").count()
     }
+    // record what the staged λ covers (consumed by appendEpochs: the
+    // frozen-graph incremental path needs to know which epochs the base
+    // artifacts were built over). A full build covers every epoch, so
+    // incremental dirs from an earlier generation are stale — drop them.
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("lambdas_e"))
+      .toSeq.foreach(Stage.deleteRecursive)
+    IndexBuilder.writeMeta(s"$dir/lambdas.props", Map(
+      "epochsCovered" -> index.epochs.toString,
+      "cfgFp" -> cfg.fingerprint,
+      "baseFp" -> fp,
+      "extraDirs" -> ""))
 
+    new LambdaIndex(spark, dir)
+  }
+
+  /** Incremental λ for epochs appended to the index AFTER the staged λ
+    * pipeline was built, under a FROZEN graph: vocabulary, clustering,
+    * and the term-graph Laplacian stay pinned at what `build` produced,
+    * and only the NEW epochs' docs get a λ (one typed-aggregation pass
+    * over just their termfreq). Per-doc λ depends only on the doc's own
+    * term vector and the CSR — with the graph pinned, every existing λ
+    * row stays EXACTLY valid, so snapshot ingest costs O(new docs), not
+    * O(corpus): the 10¹²-doc serving pattern (append incrementally,
+    * rebuild the graph on a cadence via `build`, which recomputes
+    * everything when the epoch set changes).
+    *
+    * DOCUMENTED DIVERGENCE from `build` on the same index: the graph is
+    * not re-derived from the enlarged corpus, so λ values differ from a
+    * full rebuild's (whose vocab/clusters/graph see the new docs). The
+    * α=1 blend ranking is graph-independent and stays ≡ pure BM25 (gate
+    * `blended_appended_inc_alpha1`).
+    *
+    * Stage-checkpointed per epoch (fingerprint chains the epoch payload
+    * fp + the frozen graph's fp): re-runs are no-ops, crashed appends
+    * resume.
+    */
+  def appendEpochs(spark: SparkSession, index: InvertedIndex, dir: String): LambdaIndex = {
+    import spark.implicits._
+    val propsPath = s"$dir/lambdas.props"
+    require(Files.exists(Paths.get(propsPath)),
+      s"no staged λ pipeline at $dir — run LambdaPipeline.build first")
+    val props = IndexBuilder.readMeta(propsPath)
+    val covered = props("epochsCovered").toInt
+    val total = index.epochs
+    require(covered <= total,
+      s"staged λ covers $covered epochs but the index has $total — stale index handle?")
+    if (covered == total) return new LambdaIndex(spark, dir)
+    val li = new LambdaIndex(spark, dir)
+    val nNodes = li.graphProps("nNodes").toInt
+    val bCsr = spark.sparkContext.broadcast(li.csr)
+    val vocabDf = spark.read.parquet(s"$dir/vocab")
+    val paths = index.termFreqPaths // base + e1..e{total-1}, in epoch order
+    val newDirs = scala.collection.mutable.Buffer[String]()
+    for (e <- covered until total) { // epoch index e covers termFreqPaths(e)
+      val eDir = s"$dir/lambdas_e$e"
+      val fpE = Stage.fingerprintOf("lambda-epoch", props("baseFp"),
+        props("cfgFp"), e.toString, index.meta(s"fp_e$e"))
+      Stage.run(eDir, s"lambdas_e$e", fpE) {
+        // same docterms recipe as build, restricted to this epoch's
+        // termfreq (appended docs live wholly inside their epoch, so
+        // the per-doc in-vocab mass normalizer is epoch-local by
+        // construction)
+        val tf = spark.read.parquet(paths(e))
+          .join(broadcast(vocabDf), "term")
+          .select($"doc_id".as("docId"), $"termIdx", $"tf")
+        val vdl = tf.groupBy($"docId").agg(sum($"tf").as("vdl"))
+        val agg = new LambdaAgg(bCsr, nNodes, li.tauMode)
+        tf.join(vdl, "docId")
+          .select($"docId", $"termIdx",
+            ($"tf".cast("double") / $"vdl".cast("double")).as("weight"))
+          .as[(Long, Int, Double)]
+          .map { case (id, ti, w) => DocTermEntry(id, ti, w) }
+          .groupByKey(_.docId)
+          .agg(agg.toColumn)
+          .toDF("doc_id", "lambda")
+          .write.mode("overwrite").parquet(eDir)
+        spark.read.parquet(eDir).count()
+      }
+      newDirs += s"lambdas_e$e"
+    }
+    val prevExtra = props.getOrElse("extraDirs", "").split(",").filter(_.nonEmpty)
+    IndexBuilder.writeMeta(propsPath, props ++ Map(
+      "epochsCovered" -> total.toString,
+      "extraDirs" -> (prevExtra ++ newDirs).distinct.mkString(",")))
     new LambdaIndex(spark, dir)
   }
 }
@@ -204,7 +289,20 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
     Csr.fromCoo(n, coo)
   }
 
-  def lambdas: DataFrame = spark.read.parquet(s"$dir/lambdas")
+  /** Per-doc λ table: the base pipeline output plus any frozen-graph
+    * incremental epochs (LambdaPipeline.appendEpochs). Explicit
+    * projection keeps column order stable for positional readers.
+    */
+  def lambdas: DataFrame = {
+    val extra =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/lambdas.props")))
+        IndexBuilder.readMeta(s"$dir/lambdas.props")
+          .getOrElse("extraDirs", "").split(",").filter(_.nonEmpty).toSeq
+      else Seq.empty
+    (Seq(s"$dir/lambdas") ++ extra.map(d => s"$dir/$d"))
+      .map(p => spark.read.parquet(p).select("doc_id", "lambda"))
+      .reduce(_ union _)
+  }
 
   /** λ of a query term-multiset (the prepare_query_item analog,
     * /root/reference/src/core.rs:533-549: τ from the query's own values,

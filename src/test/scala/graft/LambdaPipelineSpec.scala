@@ -304,6 +304,57 @@ class LambdaPipelineSpec extends AnyFunSuite {
     assert(li3.lambdas.count() == 500, "staged λ must rebuild for the variant epoch payload")
   }
 
+  test("appendEpochs: frozen-graph incremental λ — old rows untouched, new docs exact, resumable") {
+    import spark.implicits._
+    val p = IndexBuilder.Params(docsPerShard = 128L, numParts = 6)
+    val t = Files.createTempDirectory("graft-lp-inc").toString
+    val base = IndexBuilder.build(spark, CodeCorpus.generate(spark, 300L, 11L, 6),
+      s"$t/idx", corpusFp = "synthetic:11:300", p)
+    val li0 = LambdaPipeline.build(spark, base, s"$t/lam", cfg)
+    val before = li0.lambdas.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val extra = spark.createDataset((300L until 420L).map(id => CodeCorpus.file(11L, id)))
+    val appended = IndexBuilder.append(spark, extra, s"$t/idx", appendFp = "e1:inc", p)
+    val li = LambdaPipeline.appendEpochs(spark, appended, s"$t/lam")
+    val after = li.lambdas.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(after.size == 420)
+    // frozen graph ⇒ every base λ row BYTE-identical (per-doc λ depends
+    // only on the doc's own vector + the pinned CSR)
+    before.foreach { case (id, l) => assert(after(id) == l, s"doc $id λ changed") }
+    // appended docs: λ ∈ [0,1] and exact vs the INDEPENDENT driver-side
+    // sparse evaluator (queryLambda = same formula over the same frozen
+    // graph, computed without the Aggregator)
+    val tfq = spark.read.parquet(appended.termFreqPaths.last)
+      .select($"doc_id", $"term", $"tf").as[(Long, String, Long)].collect()
+      .groupBy(_._1)
+    for (id <- Seq(300L, 350L, 419L)) {
+      val counts = tfq(id).map { case (_, t2, n) => t2 -> n.toInt }.toMap
+      val want = li.queryLambda(counts)
+      assert(math.abs(after(id) - want) < 1e-12, s"doc $id: ${after(id)} vs $want")
+      assert(after(id) >= 0.0 && after(id) <= 1.0)
+    }
+    // α=1 blend over base+epoch with the incremental λ table ≡ pure BM25
+    val q = "get value data"
+    val blend = li.blendedTopK(appended, q, 10, alpha = 1.0).collect().map(_.getLong(0)).toSeq
+    val wand = appended.wandTopK(
+      graft.tokenize.CodeTokenizer.codeTokens(q).distinct.toSeq, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(blend == wand)
+    // α<1 blend uses the union λ table without driver-side collects:
+    // the incremental rows must participate (some appended doc carries
+    // a nonzero λ)
+    assert((300L until 420L).exists(id => after(id) > 0.0))
+    // resume: a second call is a no-op (per-epoch stage fingerprints)
+    val t0 = System.nanoTime()
+    LambdaPipeline.appendEpochs(spark, appended, s"$t/lam")
+    assert((System.nanoTime() - t0) / 1e6 < 5000, "re-append must skip the staged epoch")
+    // a FULL rebuild over the grown index covers everything and clears
+    // the incremental dirs (graph re-derived — the rebuild-graph policy)
+    val liFull = LambdaPipeline.build(spark, appended, s"$t/lam", cfg)
+    assert(liFull.lambdas.count() == 420)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$t/lam/lambdas_e1")),
+      "full rebuild must clear stale incremental λ dirs")
+  }
+
   test("append refuses a meta without base-only stats once epochs exist (no double-count)") {
     import spark.implicits._
     val p = IndexBuilder.Params(docsPerShard = 128L, numParts = 4)

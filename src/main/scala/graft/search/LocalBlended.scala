@@ -62,10 +62,14 @@ final class LocalBlended(
     }
     val info = searcher.termInfoFn(prep.flatMap(_._2).distinct)
     val canon = prep.map { case (qid, ts, lq) => (qid, (ts.filter(info.contains), lq)) }
+    // canonicals evaluate in parallel across the replica's cores —
+    // each evaluation reads only immutable decoded lists / the λ map
+    // and builds its own cursors, so results are deterministic per key
+    import scala.collection.parallel.CollectionConverters._
     val results: Map[(Seq[String], Double), Array[Wand.Hit]] =
-      canon.map(_._2).distinct.map { case key @ (ts, lq) =>
+      canon.map(_._2).distinct.par.map { case key @ (ts, lq) =>
         key -> topKCanonical(ts, lq, info, k, alpha)
-      }.toMap
+      }.seq.toMap
     canon.map { case (qid, key) => qid -> results(key) }
   }
 

@@ -22,16 +22,29 @@ object IndexStream {
   /** Start appending every micro-batch of `files` to the index at
     * `dir` (which must already hold a base build — possibly of zero
     * epochs' worth of appends).
+    *
+    * With `lambdaDir` set (a λ pipeline already built over the base via
+    * LambdaPipeline.build), each committed micro-batch also extends the
+    * λ table through the frozen-graph incremental path
+    * (LambdaPipeline.appendEpochs) — O(batch docs) per commit, so the
+    * stream keeps BOTH the inverted index and the λ re-ranking signal
+    * continuously blended-searchable. Exactly-once carries over: the
+    * per-epoch λ stage fingerprints chain the epoch payload
+    * fingerprints, so a replayed batch no-ops on the λ side too.
     */
   def start(spark: SparkSession, files: Dataset[SourceFile], dir: String,
       params: IndexBuilder.Params, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      lambdaDir: Option[String] = None): StreamingQuery =
     files.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[SourceFile], batchId: Long) =>
-        if (!batch.isEmpty)
-          IndexBuilder.append(spark, batch, dir, appendFp = s"stream-batch:$batchId", params)
+        if (!batch.isEmpty) {
+          val idx = IndexBuilder.append(spark, batch, dir,
+            appendFp = s"stream-batch:$batchId", params)
+          lambdaDir.foreach(ld => graft.lambda.LambdaPipeline.appendEpochs(spark, idx, ld))
+        }
         ()
       }
       .start()

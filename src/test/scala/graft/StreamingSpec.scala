@@ -97,6 +97,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingest extends the λ table incrementally (frozen-graph per micro-batch)") {
+    import spark.implicits._
+    import graft.corpus.CodeCorpus
+    import graft.index.IndexBuilder
+    import graft.lambda.LambdaPipeline
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-lam").toString
+    val p = IndexBuilder.Params(docsPerShard = 64L, numParts = 4)
+    val base = IndexBuilder.build(spark, CodeCorpus.generate(spark, 200L, 42L, 4),
+      s"$tmp/idx", corpusFp = "stream-lam-base:200", p)
+    val cfg = LambdaPipeline.Config(vocabSize = 128, maxClusters = 8, seed = 42L)
+    val li0 = LambdaPipeline.build(spark, base, s"$tmp/lam", cfg)
+    val baseRows = li0.lambdas.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val srcDir = s"$tmp/incoming"
+    def dropBatch(lo: Long, hi: Long): Unit =
+      spark.createDataset((lo until hi).map(id => CodeCorpus.file(42L, id)))
+        .write.mode("append").parquet(srcDir)
+    val schema = org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile].schema
+    def ingestAvailable(): Unit = {
+      val files = spark.readStream.schema(schema).parquet(srcDir)
+        .as[graft.corpus.SourceFile]
+      val q = graft.streaming.IndexStream.start(spark, files, s"$tmp/idx", p,
+        checkpoint = s"$tmp/ckpt", lambdaDir = Some(s"$tmp/lam"))
+      q.awaitTermination()
+    }
+    dropBatch(200L, 300L); ingestAvailable()
+    dropBatch(300L, 400L); ingestAvailable()
+    val ingested = graft.streaming.IndexStream.index(spark, s"$tmp/idx")
+    assert(ingested.nDocs == 400L)
+    val li = new graft.lambda.LambdaIndex(spark, s"$tmp/lam")
+    val after = li.lambdas.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // every streamed doc carries a λ, and the base rows are untouched
+    assert(after.size == 400, s"λ covers ${after.size} of 400 docs")
+    baseRows.foreach { case (id, l) => assert(after(id) == l, s"doc $id λ changed") }
+    assert((200L until 400L).forall(id => after.contains(id)))
+    // the continuously-ingested (index, λ) pair stays blended-searchable:
+    // α=1 ranks ≡ pure BM25 over base + streamed epochs
+    val qText = "get value data"
+    val blend = li.blendedTopK(ingested, qText, 10, alpha = 1.0)
+      .collect().map(_.getLong(0)).toSeq
+    val wand = ingested.wandTopK(
+      graft.tokenize.CodeTokenizer.codeTokens(qText).distinct.toSeq, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(blend == wand)
+  }
+
   test("stateful stream: running count per event_type with update mode") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema

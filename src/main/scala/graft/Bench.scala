@@ -265,6 +265,16 @@ object Bench {
       }.sorted
       s"serving_$name" -> times(reps / 2) // median
     }.toMap
+    // pure-BM25 serving BATCH (LocalSearcher.topKBatch: canonical dedup
+    // + parallel evaluation across the replica's cores)
+    val swN = 512
+    val sw = queryBatch(nFiles, swN)
+    local.topKBatch(sw.take(64), 10) // warm
+    val swSec = (1 to 2).map { _ =>
+      val t = System.nanoTime()
+      local.topKBatch(sw, 10)
+      (System.nanoTime() - t) / 1e9
+    }.min
     // λτ pipeline + BATCHED blended search at α=0.9 (the reference's own
     // blended bench config, base_index_bench α=0.9): per-set slack bands
     // + one λ join for the whole batch
@@ -313,6 +323,8 @@ object Bench {
       "lambda_build_sec" -> lamBuildSec,
       s"blended_batch${blN}_sec" -> blSec,
       s"blended_batch${blN}_qps" -> blN / blSec,
+      s"serving_batch${swN}_sec" -> swSec,
+      s"serving_batch${swN}_qps" -> swN / swSec,
       s"serving_blended_batch${sbN}_sec" -> sbSec,
       s"serving_blended_batch${sbN}_qps" -> sbN / sbSec)
   }

@@ -34,6 +34,32 @@ final class LocalSearcher(
     val terms = qTerms.distinct.filter(byTerm.contains).sorted
     if (terms.isEmpty) return Array.empty
     val idfMap = termInfoFn(terms).map { case (t, (i, _)) => t -> i }
+    evalCanonical(terms, idfMap, k)
+  }
+
+  /** Batched serving: one termInfo fetch for the whole batch, then one
+    * WAND evaluation per DISTINCT canonical term set, run in parallel
+    * across the replica's cores (each evaluation reads only immutable
+    * decoded lists and builds its own cursors). ≡ sequential topK calls
+    * (asserted in IndexSpec); throughput follows distinct sets, not
+    * batch size.
+    */
+  def topKBatch(queries: Seq[(Int, Seq[String])], k: Int): Seq[(Int, Array[Wand.Hit])] = {
+    val prep = queries.map { case (qid, ts) =>
+      (qid, ts.distinct.filter(byTerm.contains).sorted)
+    }
+    val idfMap = termInfoFn(prep.flatMap(_._2).distinct)
+      .map { case (t, (i, _)) => t -> i }
+    import scala.collection.parallel.CollectionConverters._
+    val results: Map[Seq[String], Array[Wand.Hit]] =
+      prep.map(_._2).distinct.par.map { ts =>
+        ts -> (if (ts.isEmpty) Array.empty[Wand.Hit] else evalCanonical(ts, idfMap, k))
+      }.seq.toMap
+    prep.map { case (qid, ts) => qid -> results(ts) }
+  }
+
+  private def evalCanonical(terms: Seq[String], idfMap: Map[String, Double],
+      k: Int): Array[Wand.Hit] = {
     val byShard = terms.flatMap(t => byTerm(t)).groupBy(_.shard)
     val all = byShard.toSeq.sortBy(_._1).iterator.flatMap { case (_, lists) =>
       val cursors = lists.sortBy(_.term)

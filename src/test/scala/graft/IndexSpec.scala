@@ -89,6 +89,24 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("LocalSearcher.topKBatch ≡ sequential topK calls (canonical dedup, parallel eval)") {
+    val local = graft.search.LocalSearcher.fromIndex(index)
+    val queries = Seq(
+      0 -> Seq("get"),
+      1 -> Seq("data", "index", "merge"),
+      2 -> Seq("get"), // repeat
+      3 -> Seq("merge", "data", "index"), // same set, different order
+      4 -> Seq("nosuchterm"),
+      5 -> Seq("lambda", "energy"))
+    val batch = local.topKBatch(queries, 10).toMap
+    assert(batch.keySet == queries.map(_._1).toSet)
+    for ((qid, ts) <- queries) {
+      val single = local.topK(ts, 10).map(h => (h.docId, h.score)).toSeq
+      val b = batch(qid).map(h => (h.docId, h.score)).toSeq
+      assert(b == single, s"qid=$qid: $b vs $single")
+    }
+  }
+
   test("shard-range replicas: merged half-range top-ks ≡ full searcher") {
     // 600 docs / 128 per shard → shards 0..4; split replicas [0,2] | [3,max]
     val full = graft.search.LocalSearcher.fromIndex(index)

@@ -430,13 +430,15 @@ object SparkEntry {
       graft.index.IndexBuilder.Params(docsPerShard = 64L, numParts = 8, tokenizer = "simple"))
   }
 
-  /** Inverted index built over the FIRST half of the documents table,
-    * with the second half APPENDED as an epoch (the snapshot-ingest
-    * path) — backs the `wand_topk_appended` gate, whose oracle is SQL
-    * BM25 over the FULL corpus. Stage lineage + the committed-epoch
+  /** Shared recipe of the appended-index gates: base index over the
+    * FIRST half of the documents table built into `idxDir`, second half
+    * APPENDED as an epoch (the snapshot-ingest path). `afterBase` runs
+    * between the base build and the append (the incremental-λ gate
+    * builds its λ pipeline there). Stage lineage + the committed-epoch
     * fingerprint make repeated calls resume/no-op.
     */
-  def documentsIndexAppended(s: SparkSession, dir: String): graft.index.InvertedIndex = {
+  private def appendedDocsIndex(s: SparkSession, dir: String, idxDir: String,
+      afterBase: graft.index.InvertedIndex => Unit = _ => ()): graft.index.InvertedIndex = {
     import s.implicits._
     val fp = documentsFp(s, dir)
     val half = fp.split(":")(0).toLong / 2
@@ -446,14 +448,19 @@ object SparkEntry {
         col("doc_id").cast("string").as("path"), lit("").as("commit"),
         col("lang"), col("text").as("content"))
       .as[graft.index.DocIds.Doc]
-    val sfName = new java.io.File(dir).getName
-    val idxDir = s"/tmp/graft_docidx_apnd_$sfName"
     val p = graft.index.IndexBuilder.Params(docsPerShard = 64L, numParts = 8, tokenizer = "simple")
-    graft.index.IndexBuilder.buildFromDocs(s, docsPart(low = true), idxDir,
+    val base = graft.index.IndexBuilder.buildFromDocs(s, docsPart(low = true), idxDir,
       corpusFp = s"documents-base:$dir:$fp", p)
+    afterBase(base)
     graft.index.IndexBuilder.appendFromDocs(s, docsPart(low = false), idxDir,
       appendFp = s"documents-epoch1:$dir:$fp", p)
   }
+
+  /** Backs the `wand_topk_appended` gate, whose oracle is SQL BM25 over
+    * the FULL corpus.
+    */
+  def documentsIndexAppended(s: SparkSession, dir: String): graft.index.InvertedIndex =
+    appendedDocsIndex(s, dir, s"/tmp/graft_docidx_apnd_${new java.io.File(dir).getName}")
 
   /** Dedicated base index + λ pipeline for the INCREMENTAL ingest gate:
     * base half indexed and λ-built first, the second half appended as an
@@ -466,25 +473,14 @@ object SparkEntry {
     */
   private def documentsLambdaInc(
       s: SparkSession, dir: String): (graft.index.InvertedIndex, graft.lambda.LambdaIndex) = {
-    import s.implicits._
-    val fp = documentsFp(s, dir)
-    val half = fp.split(":")(0).toLong / 2
-    def docsPart(low: Boolean) = table(s, dir, "documents")
-      .filter(if (low) col("doc_id") < half else col("doc_id") >= half)
-      .select(col("doc_id").as("docId"), col("source").as("repo"),
-        col("doc_id").cast("string").as("path"), lit("").as("commit"),
-        col("lang"), col("text").as("content"))
-      .as[graft.index.DocIds.Doc]
     val sfName = new java.io.File(dir).getName
-    val idxDir = s"/tmp/graft_docidx_inc_$sfName"
     val lamDir = s"/tmp/graft_doclam_inc_$sfName"
-    val p = graft.index.IndexBuilder.Params(docsPerShard = 64L, numParts = 8, tokenizer = "simple")
-    val base = graft.index.IndexBuilder.buildFromDocs(s, docsPart(low = true), idxDir,
-      corpusFp = s"documents-base:$dir:$fp", p)
-    graft.lambda.LambdaPipeline.build(s, base, lamDir,
-      graft.lambda.LambdaPipeline.Config(vocabSize = 256, maxClusters = 16, seed = 42L))
-    val appended = graft.index.IndexBuilder.appendFromDocs(s, docsPart(low = false), idxDir,
-      appendFp = s"documents-epoch1:$dir:$fp", p)
+    val appended = appendedDocsIndex(s, dir, s"/tmp/graft_docidx_inc_$sfName",
+      afterBase = base => {
+        graft.lambda.LambdaPipeline.build(s, base, lamDir,
+          graft.lambda.LambdaPipeline.Config(vocabSize = 256, maxClusters = 16, seed = 42L))
+        ()
+      })
     (appended, graft.lambda.LambdaPipeline.appendEpochs(s, appended, lamDir))
   }
 

@@ -62,10 +62,12 @@ object Stage {
     val dir = Paths.get(stageDir)
     Files.createDirectories(dir)
     val parts = if (Files.isDirectory(dir)) {
-      Files.list(dir).iterator().asScala
+      val s = Files.list(dir)
+      try s.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("part-"))
         .map(p => s"""{"file": "${esc(p.getFileName.toString)}", "bytes": ${Files.size(p)}}""")
         .toSeq.sorted
+      finally s.close()
     } else Seq.empty
     val json =
       s"""{

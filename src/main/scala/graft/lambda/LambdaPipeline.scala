@@ -178,16 +178,28 @@ object LambdaPipeline {
     }
     // record what the staged λ covers (consumed by appendEpochs: the
     // frozen-graph incremental path needs to know which epochs the base
-    // artifacts were built over). A full build covers every epoch, so
-    // incremental dirs from an earlier generation are stale — drop them.
-    Files.list(Paths.get(dir)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("lambdas_e"))
-      .toSeq.foreach(Stage.deleteRecursive)
-    IndexBuilder.writeMeta(s"$dir/lambdas.props", Map(
-      "epochsCovered" -> index.epochs.toString,
-      "cfgFp" -> cfg.fingerprint,
-      "baseFp" -> fp,
-      "extraDirs" -> ""))
+    // artifacts were built over). Only a NEW build generation (different
+    // fp) resets coverage and clears incremental dirs — a resumed build
+    // whose stages all skipped must leave an appendEpochs-extended chain
+    // untouched (a stale index handle re-running build would otherwise
+    // silently destroy valid incremental λ state). Props are written
+    // BEFORE the stale dirs are deleted so a crash between the two
+    // leaves only harmless orphans, never dangling extraDirs entries.
+    val propsPath = s"$dir/lambdas.props"
+    val sameGeneration = Files.exists(Paths.get(propsPath)) &&
+      IndexBuilder.readMeta(propsPath).get("baseFp").contains(fp)
+    if (!sameGeneration) {
+      IndexBuilder.writeMeta(propsPath, Map(
+        "epochsCovered" -> index.epochs.toString,
+        "cfgFp" -> cfg.fingerprint,
+        "baseFp" -> fp,
+        "extraDirs" -> ""))
+      val ls = Files.list(Paths.get(dir))
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("lambdas_e"))
+        .toSeq.foreach(Stage.deleteRecursive)
+      finally ls.close()
+    }
 
     new LambdaIndex(spark, dir)
   }
@@ -213,7 +225,14 @@ object LambdaPipeline {
     * fp + the frozen graph's fp): re-runs are no-ops, crashed appends
     * resume.
     */
-  def appendEpochs(spark: SparkSession, index: InvertedIndex, dir: String): LambdaIndex = {
+  /** See class doc. `cached` lets a long-lived caller (the streaming
+    * foreachBatch, a serving process) reuse one LambdaIndex handle
+    * across calls — the CSR broadcast, vocab, and graph props are
+    * per-handle lazy state, so repeated appends pay O(new docs), not
+    * O(graph) driver work + a fresh broadcast per micro-batch.
+    */
+  def appendEpochs(spark: SparkSession, index: InvertedIndex, dir: String,
+      cached: Option[LambdaIndex] = None): LambdaIndex = {
     import spark.implicits._
     val propsPath = s"$dir/lambdas.props"
     require(Files.exists(Paths.get(propsPath)),
@@ -223,10 +242,10 @@ object LambdaPipeline {
     val total = index.epochs
     require(covered <= total,
       s"staged λ covers $covered epochs but the index has $total — stale index handle?")
-    if (covered == total) return new LambdaIndex(spark, dir)
-    val li = new LambdaIndex(spark, dir)
+    val li = cached.getOrElse(new LambdaIndex(spark, dir))
+    if (covered == total) return li
     val nNodes = li.graphProps("nNodes").toInt
-    val bCsr = spark.sparkContext.broadcast(li.csr)
+    val bCsr = li.csrBroadcast
     val vocabDf = spark.read.parquet(s"$dir/vocab")
     val paths = index.termFreqPaths // base + e1..e{total-1}, in epoch order
     val newDirs = scala.collection.mutable.Buffer[String]()
@@ -261,7 +280,10 @@ object LambdaPipeline {
     IndexBuilder.writeMeta(propsPath, props ++ Map(
       "epochsCovered" -> total.toString,
       "extraDirs" -> (prevExtra ++ newDirs).distinct.mkString(",")))
-    new LambdaIndex(spark, dir)
+    // the same handle stays valid: lambdas is a def (re-reads props, so
+    // the new epoch dirs are visible), and the frozen graph/vocab/CSR
+    // lazy state carries over unchanged
+    li
   }
 }
 
@@ -288,6 +310,13 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
       .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
     Csr.fromCoo(n, coo)
   }
+
+  /** One broadcast of the (frozen) CSR per handle — reused by every
+    * appendEpochs call on this handle instead of re-broadcasting the
+    * graph per micro-batch.
+    */
+  lazy val csrBroadcast: org.apache.spark.broadcast.Broadcast[Csr] =
+    spark.sparkContext.broadcast(csr)
 
   /** Per-doc λ table: the base pipeline output plus any frozen-graph
     * incremental epochs (LambdaPipeline.appendEpochs). Explicit

@@ -35,7 +35,12 @@ object IndexStream {
   def start(spark: SparkSession, files: Dataset[SourceFile], dir: String,
       params: IndexBuilder.Params, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      lambdaDir: Option[String] = None): StreamingQuery =
+      lambdaDir: Option[String] = None): StreamingQuery = {
+    // one λ handle for the life of the query: the frozen CSR broadcast /
+    // vocab / graph props are per-handle lazy state, so each micro-batch
+    // pays O(batch docs), not O(graph) driver work + a new broadcast
+    val liCache =
+      new java.util.concurrent.atomic.AtomicReference[graft.lambda.LambdaIndex]()
     files.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -43,11 +48,15 @@ object IndexStream {
         if (!batch.isEmpty) {
           val idx = IndexBuilder.append(spark, batch, dir,
             appendFp = s"stream-batch:$batchId", params)
-          lambdaDir.foreach(ld => graft.lambda.LambdaPipeline.appendEpochs(spark, idx, ld))
+          lambdaDir.foreach { ld =>
+            liCache.set(graft.lambda.LambdaPipeline.appendEpochs(
+              spark, idx, ld, Option(liCache.get())))
+          }
         }
         ()
       }
       .start()
+  }
 
   /** Convenience: current queryable handle over the ingested index. */
   def index(spark: SparkSession, dir: String): InvertedIndex =

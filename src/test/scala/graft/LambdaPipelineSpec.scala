@@ -347,6 +347,12 @@ class LambdaPipelineSpec extends AnyFunSuite {
     val t0 = System.nanoTime()
     LambdaPipeline.appendEpochs(spark, appended, s"$t/lam")
     assert((System.nanoTime() - t0) / 1e6 < 5000, "re-append must skip the staged epoch")
+    // a STALE index handle (meta cached before the append) re-running
+    // build skips every stage (same fingerprint) — it must NOT destroy
+    // the incremental chain (same-generation resume leaves props alone)
+    val viaStale = LambdaPipeline.build(spark, base, s"$t/lam", cfg)
+    assert(viaStale.lambdas.count() == 420,
+      "stale-handle build resume must preserve incremental λ epochs")
     // a FULL rebuild over the grown index covers everything and clears
     // the incremental dirs (graph re-derived — the rebuild-graph policy)
     val liFull = LambdaPipeline.build(spark, appended, s"$t/lam", cfg)

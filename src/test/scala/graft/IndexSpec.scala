@@ -389,6 +389,31 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("termBucketOf ≡ Spark crc32 pmod for arbitrary terms (write/query cross-side contract)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val terms = ((0 until 500).map { _ =>
+      val len = 1 + rnd.nextInt(24)
+      new String((0 until len).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => ('a' + rnd.nextInt(26)).toChar
+          case 1 => ('0' + rnd.nextInt(10)).toChar
+          case 2 => '_'
+          case _ => (0x100 + rnd.nextInt(0x2000)).toChar // non-ASCII BMP, no surrogates
+        }
+      }.toArray)
+    } :+ "" :+ "get" :+ "λ_término").distinct
+    for (b <- Seq(2, 8, 64, 4096)) {
+      val viaSpark = terms.toDF("term")
+        .withColumn("tb", pmod(crc32(col("term").cast("binary")), lit(b.toLong)).cast("int"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      terms.foreach { t =>
+        assert(viaSpark(t) == graft.index.IndexBuilder.termBucketOf(t, b),
+          s"term=$t buckets=$b: write side ${viaSpark(t)} vs query side ${graft.index.IndexBuilder.termBucketOf(t, b)}")
+      }
+    }
+  }
+
   test("docId assignment is deterministic across rebuilds") {
     val t2 = Files.createTempDirectory("graft-index2").toString
     val idx2 = IndexBuilder.build(

@@ -413,12 +413,21 @@ object Bench {
     // varies ±10-20% with page-cache/GC state, which otherwise dominates
     // the efficiency RATIO (two independent ±15% samples swing it ±0.1);
     // min-time is the standard benchmark estimator for that noise
-    def best(a: LevelResult, b: LevelResult): LevelResult =
+    // per-METRIC probe attribution: build-side annotations (stage_*,
+    // ext_build, load window) follow the build-best attempt, ext_batch
+    // follows the batch-best attempt — so the published decomposition
+    // annotates the same attempt as the headline it describes (the raw
+    // attempts log still disambiguates every sample)
+    def best(a: LevelResult, b: LevelResult): LevelResult = {
+      val buildBest = if (a.buildSec <= b.buildSec) a else b
+      val batchBest = if (a.batchSec <= b.batchSec) a else b
       LevelResult(a.cpus,
         math.min(a.buildSec, b.buildSec), math.max(a.filesPerSec, b.filesPerSec),
         math.min(a.batchSec, b.batchSec), math.max(a.qps, b.qps),
         a.singles ++ b.singles,
-        if (a.buildSec <= b.buildSec) a.probe else b.probe)
+        buildBest.probe ++
+          batchBest.probe.get("ext_batch").map("ext_batch" -> _).toMap)
+    }
     // every level/attempt in a FRESH JVM, and the N / 4N attempts are
     // INTERLEAVED as adjacent pairs: this box's ambient contention
     // drifts on ~10-minute scales, so a ratio taken from two distant

@@ -29,12 +29,13 @@ object IndexBuilder {
       tokenizer: String = "code", // "code" | "simple"
       mergeBuckets: Int = 1, // >1 → the posting merge commits per bucket (mid-merge resume)
       termBuckets: Int = 0) { // >0 → postings laid out under tbucket=<crc32(term)%B>/ dirs
-    // v4: termfreq is per-doc-aggregated with dl inline (no tokenize
-    // shuffle); termstats carries per-term ub (max idf-free partial) for
-    // tight a-priori query bounds; meta splits base from epoch stats.
-    // tb appears only when enabled so existing v4 stage caches survive.
+    // v5: doc lengths moved OUT of the posting payload into the
+    // shard-local LensStore side arrays (lens/ stage) — posting schema
+    // changed (no dlBytes/blockDlOff), so every stage recomputes.
+    // (v4: per-doc termfreq aggregation, termstats ub column.)
+    // tb appears only when enabled so existing v5 stage caches survive.
     def fingerprint: String =
-      s"v4;dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets" +
+      s"v5;dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets" +
         (if (termBuckets > 0) s";tb=$termBuckets" else "")
   }
 
@@ -175,6 +176,15 @@ object IndexBuilder {
     }
     val meta = readMeta(s"$dir/meta.props")
     val avgdl = meta("avgdl").toDouble
+
+    // ---- stage 2c: shard-local doc-length side arrays ------------------
+    // one fixed-width binary window per contiguous docId span (LensStore):
+    // the query side loads ONE Array[Int] per doc-shard instead of
+    // decoding a per-posting dl varint stream (v5 — the measured
+    // decode-bandwidth cut)
+    Stage.run(s"$dir/lens", "lens", fp) {
+      LensStore.writeSegments(spark, s"$dir/doclens", s"$dir/lens", p.numParts)
+    }
 
     // ---- stage 3: compressed sharded posting lists --------------------
     // mergeBuckets > 1 → the merge commits one shard-range bucket at a
@@ -400,6 +410,13 @@ object IndexBuilder {
       writeMeta(s"$eDir/stats.props", Map("m" -> m.toString, "toks" -> toks.toString))
       m
     }
+    // ---- stage 2c: the epoch's shard-local doc-length windows -----------
+    // (the epoch's id range starts at baseDocs — boundary shards merge
+    // base + epoch segments at read time in LensStore.forShard)
+    Stage.run(s"$eDir/lens", s"lens/e$epoch", fp) {
+      LensStore.writeSegments(spark, s"$eDir/doclens", s"$eDir/lens",
+        math.max(p.numParts / 4, 1))
+    }
     val eStats = readMeta(s"$eDir/stats.props")
     val (m, toks) = (eStats("m").toLong, eStats("toks").toLong)
     val nDocsNow = baseDocs + m
@@ -517,10 +534,29 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
   // explicit projection: bucketed layouts add partition columns
   // (bucket/tbucket) that the encoder must not see
   private def projectLists(df: DataFrame): Dataset[PostingList] =
-    df.select("term", "shard", "df", "docBytes", "tfBytes", "dlBytes", "blockLen",
-        "blockLastDoc", "blockDocOff", "blockTfOff", "blockDlOff",
+    df.select("term", "shard", "df", "docBytes", "tfBytes", "blockLen",
+        "blockLastDoc", "blockDocOff", "blockTfOff",
         "blockMaxPartial", "maxPartial", "encAvgdl")
       .as[PostingList]
+
+  def docsPerShard: Long = meta("docsPerShard").toLong
+
+  /** Serializable handle for the shard-local doc-length windows (v5 lens
+    * side arrays). The generation token hashes every epoch lens stage's
+    * lineage, so process-wide LensStore caches can never serve a
+    * previous build's lengths after an in-place rebuild. Query methods
+    * capture this as a LOCAL val before their task closures (driver-side
+    * initialization; only the small case class ships).
+    */
+  lazy val lensHandle: LensHandle = {
+    val roots = epochPaths("lens")
+    val lineages = roots.map { r =>
+      val lp = Stage.lineagePath(r)
+      if (java.nio.file.Files.exists(lp)) java.nio.file.Files.readString(lp) else r
+    }
+    LensHandle(roots, docsPerShard,
+      java.lang.Long.toHexString(graft.util.Hashing.hash64(0x6c656e73L, lineages: _*)))
+  }
 
   def termStats: DataFrame = spark.read.parquet(s"$dir/termstats")
 
@@ -570,10 +606,14 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
     val idf = idfFor(terms)
     val p = bm25
     val ad = avgdl
+    val lh = lensHandle
     val hits = postingsFor(terms)
       .groupByKey(_.shard)
-      .flatMapGroups { (_, it) =>
-        Wand.topKLists(it.toSeq, idf, p, ad, k).iterator.map(h => (h.docId, h.score))
+      .flatMapGroups { (shard, it) =>
+        val lens = lh.forShard(shard)
+        val base = shard.toLong * lh.docsPerShard
+        Wand.topKLists(it.toSeq, idf, p, ad, k, lens, base).iterator
+          .map(h => (h.docId, h.score))
       }
       .toDF("doc_id", "score")
     val top = hits.orderBy($"score".desc, $"doc_id".asc).limit(k)
@@ -604,9 +644,10 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
     val setList: Seq[(Int, Seq[String])] = setOf.toSeq.map(_.swap).sortBy(_._1)
     val p = bm25
     val ad = avgdl
+    val lh = lensHandle
     val hits = postingsFor(allTerms)
       .groupByKey(_.shard)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (shard, it) =>
         // decode each posting list ONCE; all sets share the decoded
         // arrays via O(1) cursors — decode bandwidth no longer scales
         // with batch size. Lists group into ARRAYS per term: after an
@@ -614,7 +655,7 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
         // docsPerShard, the boundary doc-shard holds TWO lists for the
         // same (term, shard) — one base, one epoch — and a .toMap here
         // would silently drop one, never scoring its docs.
-        val byTerm: Map[String, Array[DecodedList]] = decodeByTerm(it, p, ad)
+        val byTerm: Map[String, Array[DecodedList]] = decodeByTerm(it, p, ad, lh, shard)
         setList.iterator.flatMap { case (sid, ts) =>
           val cursors = ts.iterator
             .flatMap(t => byTerm.getOrElse(t, Array.empty[DecodedList]))
@@ -652,10 +693,13 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
     * is exact).
     */
   private def decodeByTerm(it: Iterator[PostingList], p: BM25.Params,
-      ad: Double): Map[String, Array[DecodedList]] =
+      ad: Double, lh: LensHandle, shard: Int): Map[String, Array[DecodedList]] = {
+    val lens = lh.forShard(shard)
+    val base = shard.toLong * lh.docsPerShard
     it.toSeq.groupBy(_.term).map { case (t, pls) =>
-      t -> pls.map(pl => DecodedList.from(pl, p, ad)).toArray
+      t -> pls.map(pl => DecodedList.from(pl, p, ad, lens, base)).toArray
     }
+  }
 
   /** Batched bound-safe candidate bands (the blended-batch analog of
     * wandTopKBatch): for every canonical (set_id, terms, slack) the
@@ -669,10 +713,11 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
     val idf = idfFor(allTerms)
     val p = bm25
     val ad = avgdl
+    val lh = lensHandle
     postingsFor(allTerms)
       .groupByKey(_.shard)
-      .flatMapGroups { (_, it) =>
-        val byTerm = decodeByTerm(it, p, ad)
+      .flatMapGroups { (shard, it) =>
+        val byTerm = decodeByTerm(it, p, ad, lh, shard)
         sets.iterator.flatMap { case (sid, ts, slack) =>
           val cursors = ts.iterator
             .flatMap(t => byTerm.getOrElse(t, Array.empty[DecodedList]))
@@ -703,11 +748,14 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
     val idf = idfFor(terms)
     val p = bm25
     val ad = avgdl
+    val lh = lensHandle
     postingsFor(terms)
       .groupByKey(_.shard)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (shard, it) =>
+        val lens = lh.forShard(shard)
+        val base = shard.toLong * lh.docsPerShard
         val cursors = it.toSeq.sortBy(_.term)
-          .map(pl => new PostingCursor(pl, p, ad, idf(pl.term)))
+          .map(pl => new PostingCursor(pl, p, ad, idf(pl.term), lens, base))
         Wand.candidatesWithSlack(cursors, k, slack).iterator.map(h => (h.docId, h.score))
       }
       .toDF("doc_id", "bm25")
@@ -722,12 +770,16 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
     val idf = idfFor(terms)
     val p = bm25
     val ad = avgdl
+    val lh = lensHandle
     postingsFor(terms)
       .flatMap { pl =>
         val w = idf(pl.term)
-        val (ids, tfs, dls) = PostingFormat.decodeAll(pl)
+        val lens = lh.forShard(pl.shard)
+        val base = pl.shard.toLong * lh.docsPerShard
+        val (ids, tfs) = PostingFormat.decodeAll(pl)
         ids.indices.iterator.map { i =>
-          (ids(i), pl.term, w * PostingFormat.partial(tfs(i).toDouble, dls(i).toDouble, p, ad))
+          val dl = lens((ids(i) - base).toInt)
+          (ids(i), pl.term, w * PostingFormat.partial(tfs(i).toDouble, dl.toDouble, p, ad))
         }
       }
       .toDF("doc_id", "term", "contrib")

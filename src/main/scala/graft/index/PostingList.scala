@@ -15,11 +15,16 @@ import graft.search.BM25
   * Layout per list (block size [[PostingFormat.BlockSize]]):
   *  - `docBytes`: per block, FOR bit-packed (1-byte width header) deltas of
   *    strictly-increasing docIds;
-  *  - `tfBytes` / `dlBytes`: per block, LEB128 varints of tf and doc length
-  *    (dl inline keeps WAND scoring exact without a shard-local side table);
+  *  - `tfBytes`: per block, LEB128 varints of tf;
+  *  - doc lengths do NOT travel in the list (v5): they live in the
+  *    shard-local [[LensStore]] side array — one Array[Int] per doc-shard,
+  *    loaded once per shard task/replica — instead of being re-carried and
+  *    re-decoded on every posting (the dl varint stream was ~⅓ of decode
+  *    payload on a measured DRAM-bandwidth-bound path);
   *  - `blockLastDoc`: max docId per block → block skipping in `advanceTo`;
   *  - `blockMaxPartial`: per-block max of the idf-free BM25 partial
-  *    (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)) → block-max WAND upper bounds.
+  *    (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)) → block-max WAND upper bounds
+  *    (computed at encode time, when dls are still at hand).
   */
 case class PostingList(
     term: String,
@@ -27,12 +32,10 @@ case class PostingList(
     df: Long,
     docBytes: Array[Byte],
     tfBytes: Array[Byte],
-    dlBytes: Array[Byte],
     blockLen: Array[Int],
     blockLastDoc: Array[Long],
     blockDocOff: Array[Int],
     blockTfOff: Array[Int],
-    blockDlOff: Array[Int],
     blockMaxPartial: Array[Double],
     maxPartial: Double,
     /** The corpus avgdl this list's block-max bounds were ENCODED with.
@@ -47,13 +50,17 @@ case class PostingList(
 
 /** Process-wide posting-decode counters — measurement hooks proving that
   * pruning actually engages (block-max WAND / bounded blend candidates
-  * decode a strict subset of blocks vs exhaustive scoring). LongAdder:
+  * decode a strict subset of blocks vs exhaustive scoring), plus the
+  * payload-byte account behind the v5 dl-sidecar change. LongAdder:
   * safe under local-mode executor threads; negligible write cost.
   */
 object PostingStats {
   val blocksDecoded = new java.util.concurrent.atomic.LongAdder
-  def reset(): Unit = blocksDecoded.reset()
+  /** Compressed payload bytes consumed by block decodes (doc + tf). */
+  val bytesDecoded = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = { blocksDecoded.reset(); bytesDecoded.reset() }
   def decoded(): Long = blocksDecoded.sum()
+  def bytes(): Long = bytesDecoded.sum()
 }
 
 object PostingFormat {
@@ -66,7 +73,10 @@ object PostingFormat {
     Integer.numberOfTrailingZeros(BlockSize)
   }
 
-  /** Encode one (term, shard) list from docId-sorted postings. */
+  /** Encode one (term, shard) list from docId-sorted postings. `dls` are
+    * consumed for the block-max bounds only — they are NOT stored (the
+    * LensStore side array serves them at decode time).
+    */
   def encode(term: String, shard: Int,
       docIds: Array[Long], tfs: Array[Long], dls: Array[Long],
       params: BM25.Params, avgdl: Double): PostingList = {
@@ -75,12 +85,10 @@ object PostingFormat {
     val nBlocks = (n + BlockSize - 1) / BlockSize
     val docOut = new ArrayBuffer[Byte](n * 2)
     val tfOut = new ArrayBuffer[Byte](n)
-    val dlOut = new ArrayBuffer[Byte](n)
     val bLen = new Array[Int](nBlocks)
     val bLast = new Array[Long](nBlocks)
     val bDocOff = new Array[Int](nBlocks)
     val bTfOff = new Array[Int](nBlocks)
-    val bDlOff = new Array[Int](nBlocks)
     val bMax = new Array[Double](nBlocks)
     var maxPartial = 0.0
     var b = 0
@@ -92,7 +100,6 @@ object PostingFormat {
       bLast(b) = docIds(end - 1)
       bDocOff(b) = docOut.length
       bTfOff(b) = tfOut.length
-      bDlOff(b) = dlOut.length
       // deltas within block, first relative to previous block's last (or 0)
       val deltas = new Array[Long](len)
       var prev = if (start == 0) 0L else docIds(start - 1)
@@ -111,7 +118,6 @@ object PostingFormat {
         val tf = tfs(start + i)
         val dl = dls(start + i)
         Codec.writeVarLong(tf, tfOut)
-        Codec.writeVarLong(dl, dlOut)
         val p = partial(tf.toDouble, dl.toDouble, params, avgdl)
         if (p > blockMax) blockMax = p
         i += 1
@@ -120,8 +126,8 @@ object PostingFormat {
       if (blockMax > maxPartial) maxPartial = blockMax
       b += 1
     }
-    PostingList(term, shard, n.toLong, docOut.toArray, tfOut.toArray, dlOut.toArray,
-      bLen, bLast, bDocOff, bTfOff, bDlOff, bMax, maxPartial, avgdl)
+    PostingList(term, shard, n.toLong, docOut.toArray, tfOut.toArray,
+      bLen, bLast, bDocOff, bTfOff, bMax, maxPartial, avgdl)
   }
 
   /** Safe multiplier turning bounds encoded at `encAvgdl` into upper
@@ -137,32 +143,32 @@ object PostingFormat {
   @inline def partial(tf: Double, dl: Double, p: BM25.Params, avgdl: Double): Double =
     tf * (p.k1 + 1.0) / (tf + p.k1 * (1.0 - p.b + p.b * dl / avgdl))
 
-  /** Decode the whole list (tests / exact replay). Returns (docIds, tfs, dls). */
-  def decodeAll(pl: PostingList): (Array[Long], Array[Long], Array[Long]) = {
+  /** Decode the whole list (tests / exact replay). Returns (docIds, tfs);
+    * doc lengths come from the shard lens array.
+    */
+  def decodeAll(pl: PostingList): (Array[Long], Array[Long]) = {
     val n = pl.df.toInt
     val docIds = new Array[Long](n)
     val tfs = new Array[Long](n)
-    val dls = new Array[Long](n)
     var pos = 0
     var b = 0
     PostingStats.blocksDecoded.add(pl.blockLen.length.toLong)
+    PostingStats.bytesDecoded.add(pl.docBytes.length.toLong + pl.tfBytes.length.toLong)
     while (b < pl.blockLen.length) {
       val len = pl.blockLen(b)
       val (deltas, _) = Codec.forDecodeBlock(pl.docBytes, pl.blockDocOff(b), len)
       var prev = if (pos == 0) 0L else docIds(pos - 1)
       val (tfv, _) = Codec.decodeVarInts(pl.tfBytes, len, pl.blockTfOff(b))
-      val (dlv, _) = Codec.decodeVarInts(pl.dlBytes, len, pl.blockDlOff(b))
       var i = 0
       while (i < len) {
         prev += deltas(i)
         docIds(pos) = prev
         tfs(pos) = tfv(i)
-        dls(pos) = dlv(i)
         pos += 1; i += 1
       }
       b += 1
     }
-    (docIds, tfs, dls)
+    (docIds, tfs)
   }
 }
 
@@ -184,12 +190,17 @@ final class DecodedList(
     val maxPartial: Double) extends Serializable
 
 object DecodedList {
-  def from(pl: PostingList, params: BM25.Params, avgdl: Double): DecodedList = {
-    val (ids, tfs, dls) = PostingFormat.decodeAll(pl)
+  /** `lens` is the shard's doc-length window (LensStore/LensHandle) and
+    * `base` its first docId (shard × docsPerShard); index = docId − base.
+    */
+  def from(pl: PostingList, params: BM25.Params, avgdl: Double,
+      lens: Array[Int], base: Long): DecodedList = {
+    val (ids, tfs) = PostingFormat.decodeAll(pl)
     val partials = new Array[Double](ids.length)
     var i = 0
     while (i < ids.length) {
-      partials(i) = PostingFormat.partial(tfs(i).toDouble, dls(i).toDouble, params, avgdl)
+      val dl = lens((ids(i) - base).toInt)
+      partials(i) = PostingFormat.partial(tfs(i).toDouble, dl.toDouble, params, avgdl)
       i += 1
     }
     // exact partials above use the LIVE avgdl; the encoded block-max
@@ -243,9 +254,11 @@ final class DecodedCursor(dl: DecodedList, val idf: Double)
   }
 }
 
-/** Forward-only cursor with block skipping; drives block-max WAND. */
+/** Forward-only cursor with block skipping; drives block-max WAND.
+  * `lens`/`base` give the shard's doc-length window (see DecodedList).
+  */
 final class PostingCursor(val pl: PostingList, params: BM25.Params, avgdl: Double,
-    val idf: Double) extends graft.search.Wand.Cursor {
+    val idf: Double, lens: Array[Int], base: Long) extends graft.search.Wand.Cursor {
   /** Creation-order index; WAND sums per-doc contributions in this order
     * so scores are bit-deterministic regardless of cursor sort history.
     */
@@ -254,7 +267,6 @@ final class PostingCursor(val pl: PostingList, params: BM25.Params, avgdl: Doubl
   private var blockIdx = -1
   private var docsInBlock: Array[Long] = _
   private var tfsInBlock: Array[Long] = _
-  private var dlsInBlock: Array[Long] = _
   private var pos = 0
   private var exhaustedFlag = false
   loadBlock(0)
@@ -270,14 +282,17 @@ final class PostingCursor(val pl: PostingList, params: BM25.Params, avgdl: Doubl
     if (b >= nBlocks) { exhaustedFlag = true; return }
     PostingStats.blocksDecoded.increment()
     val len = pl.blockLen(b)
-    val (deltas, _) = Codec.forDecodeBlock(pl.docBytes, pl.blockDocOff(b), len)
+    val docOff = pl.blockDocOff(b)
+    val (deltas, docEnd) = Codec.forDecodeBlock(pl.docBytes, docOff, len)
     var prev = if (b == 0) 0L else pl.blockLastDoc(b - 1)
     val ids = new Array[Long](len)
     var i = 0
     while (i < len) { prev += deltas(i); ids(i) = prev; i += 1 }
     docsInBlock = ids
-    tfsInBlock = Codec.decodeVarInts(pl.tfBytes, len, pl.blockTfOff(b))._1
-    dlsInBlock = Codec.decodeVarInts(pl.dlBytes, len, pl.blockDlOff(b))._1
+    val tfOff = pl.blockTfOff(b)
+    val (tfv, tfEnd) = Codec.decodeVarInts(pl.tfBytes, len, tfOff)
+    tfsInBlock = tfv
+    PostingStats.bytesDecoded.add((docEnd - docOff).toLong + (tfEnd - tfOff).toLong)
     blockIdx = b
     pos = 0
   }
@@ -286,8 +301,10 @@ final class PostingCursor(val pl: PostingList, params: BM25.Params, avgdl: Doubl
   def docId: Long = docsInBlock(pos)
 
   /** Current doc's full score contribution (idf × partial). */
-  def score: Double =
-    idf * PostingFormat.partial(tfsInBlock(pos).toDouble, dlsInBlock(pos).toDouble, params, avgdl)
+  def score: Double = {
+    val dl = lens((docsInBlock(pos) - base).toInt)
+    idf * PostingFormat.partial(tfsInBlock(pos).toDouble, dl.toDouble, params, avgdl)
+  }
 
   /** Upper bound of any doc's contribution in the current block. */
   def blockMaxScore: Double = idf * pl.blockMaxPartial(blockIdx) * bf

@@ -69,6 +69,36 @@ object LambdaPipeline {
         "epochs", index.epochs.toString) ++
         (1 until index.epochs).map(e => index.meta(s"fp_e$e")): _*)
 
+    // Generation reset runs BEFORE the first stage commit: on a
+    // fingerprint mismatch the props (epochsCovered/extraDirs/baseFp)
+    // are rewritten and stale lambdas_e* dirs cleared ahead of any
+    // Stage.run — a crash between a new-generation stage commit and a
+    // trailing props rewrite could otherwise leave extraDirs pointing at
+    // prior-generation incremental dirs while $dir/lambdas already holds
+    // the rebuild, making LambdaIndex.lambdas union duplicate/stale
+    // doc_id rows (duplicate join keys in blendedTopK). With the early
+    // reset the worst crash residue is a CONSISTENT stale generation
+    // (old lambdas dir, no extras) that the next build call recomputes
+    // by stage fingerprint. A resumed build whose stages all skip (same
+    // fp) must NOT reset: an appendEpochs-extended chain stays intact.
+    // CONCURRENCY CONTRACT: build and appendEpochs on the same dir must
+    // not run concurrently — both read-modify-write lambdas.props.
+    val propsPath = s"$dir/lambdas.props"
+    val sameGeneration = Files.exists(Paths.get(propsPath)) &&
+      IndexBuilder.readMeta(propsPath).get("baseFp").contains(fp)
+    if (!sameGeneration) {
+      IndexBuilder.writeMeta(propsPath, Map(
+        "epochsCovered" -> index.epochs.toString,
+        "cfgFp" -> cfg.fingerprint,
+        "baseFp" -> fp,
+        "extraDirs" -> ""))
+      val ls = Files.list(Paths.get(dir))
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("lambdas_e"))
+        .toSeq.foreach(Stage.deleteRecursive)
+      finally ls.close()
+    }
+
     // ---- vocab: prune to broadcastable term-node set -------------------
     Stage.run(s"$dir/vocab", "vocab", fp) {
       val top = index.termStats
@@ -176,31 +206,8 @@ object LambdaPipeline {
         .write.mode("overwrite").parquet(s"$dir/lambdas")
       spark.read.parquet(s"$dir/lambdas").count()
     }
-    // record what the staged λ covers (consumed by appendEpochs: the
-    // frozen-graph incremental path needs to know which epochs the base
-    // artifacts were built over). Only a NEW build generation (different
-    // fp) resets coverage and clears incremental dirs — a resumed build
-    // whose stages all skipped must leave an appendEpochs-extended chain
-    // untouched (a stale index handle re-running build would otherwise
-    // silently destroy valid incremental λ state). Props are written
-    // BEFORE the stale dirs are deleted so a crash between the two
-    // leaves only harmless orphans, never dangling extraDirs entries.
-    val propsPath = s"$dir/lambdas.props"
-    val sameGeneration = Files.exists(Paths.get(propsPath)) &&
-      IndexBuilder.readMeta(propsPath).get("baseFp").contains(fp)
-    if (!sameGeneration) {
-      IndexBuilder.writeMeta(propsPath, Map(
-        "epochsCovered" -> index.epochs.toString,
-        "cfgFp" -> cfg.fingerprint,
-        "baseFp" -> fp,
-        "extraDirs" -> ""))
-      val ls = Files.list(Paths.get(dir))
-      try ls.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("lambdas_e"))
-        .toSeq.foreach(Stage.deleteRecursive)
-      finally ls.close()
-    }
-
+    // (generation reset — props rewrite + stale lambdas_e* cleanup — ran
+    // BEFORE the first stage commit; see the block above the vocab stage)
     new LambdaIndex(spark, dir)
   }
 

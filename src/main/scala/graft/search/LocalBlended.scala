@@ -124,12 +124,20 @@ object LocalBlended {
     * termInfoFn fetches each query's working set lazily. docsPerShard
     * comes from the index meta so the λ slice matches the posting slice
     * exactly.
+    *
+    * SCALE CONTRACT: replicas are slice-scoped — the full-range default
+    * collects the whole posting set AND the whole λ table, fine only for
+    * tests/small corpora. Both collects are budget-guarded (the posting
+    * side inside LocalSearcher.fromIndex, the λ side here) and
+    * `onOversize` fires before an uncollectable slice is attempted.
     */
   def fromIndexes(index: graft.index.InvertedIndex,
       lam: graft.lambda.LambdaIndex,
-      shardLo: Int = 0, shardHi: Int = Int.MaxValue): LocalBlended = {
+      shardLo: Int = 0, shardHi: Int = Int.MaxValue,
+      rowBudget: Long = LocalSearcher.DefaultReplicaRowBudget,
+      onOversize: String => Unit = m => System.err.println(s"[graft] WARN $m")): LocalBlended = {
     import org.apache.spark.sql.functions.col
-    val searcher = LocalSearcher.fromIndex(index, shardLo, shardHi)
+    val searcher = LocalSearcher.fromIndex(index, shardLo, shardHi, rowBudget, onOversize)
     val dps = index.meta("docsPerShard").toLong
     val lamMap = new java.util.HashMap[Long, java.lang.Double]()
     val lamDf =
@@ -137,6 +145,11 @@ object LocalBlended {
       else lam.lambdas.filter(
         col("doc_id") >= shardLo.toLong * dps &&
           col("doc_id") < (shardHi.toLong + 1L) * dps)
+    val lamRows = lamDf.count()
+    if (lamRows > rowBudget)
+      onOversize(s"blended replica would collect $lamRows lambda rows " +
+        s"(budget $rowBudget) for shard range [$shardLo, $shardHi] — " +
+        "replicas are slice-scoped at scale; pass an explicit shard range")
     lamDf.collect().foreach(r => lamMap.put(r.getLong(0), r.getDouble(1)))
     val tokMode = index.meta.getOrElse("tokenizer", "code")
     val fn: String => Array[String] =

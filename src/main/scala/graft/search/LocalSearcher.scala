@@ -62,8 +62,13 @@ final class LocalSearcher(
       k: Int): Array[Wand.Hit] = {
     val byShard = terms.flatMap(t => byTerm(t)).groupBy(_.shard)
     val all = byShard.toSeq.sortBy(_._1).iterator.flatMap { case (_, lists) =>
+      // a term can be decoded in this replica yet missing from the lazily
+      // fetched termstats (stale/partially rebuilt stats): degrade to the
+      // df=0 idf instead of throwing — same graceful contract the
+      // pre-memo idf() helper had
       val cursors = lists.sortBy(_.term)
-        .map(dl => new graft.index.DecodedCursor(dl, idfMap(dl.term)))
+        .map(dl => new graft.index.DecodedCursor(dl,
+          idfMap.getOrElse(dl.term, BM25.idf(nDocs.toDouble, 0.0))))
       Wand.topK(cursors, k)
     }.toArray
     scala.util.Sorting.stableSort(all,
@@ -73,6 +78,13 @@ final class LocalSearcher(
 }
 
 object LocalSearcher {
+
+  /** Postings a replica may collect before [[fromIndex]] warns. A replica
+    * is SLICE-SCOPED at scale: the full-range default exists for tests
+    * and small corpora only — at 10¹²-doc scale the whole index is not
+    * collectable and a serving tier must pass an explicit shard range.
+    */
+  val DefaultReplicaRowBudget: Long = 20_000_000L
 
   /** Collect an index — or just the doc-shard slice [shardLo, shardHi]
     * a serving replica owns — into memory (one Spark job) and pre-decode
@@ -85,15 +97,37 @@ object LocalSearcher {
     * index's termInfo memo, never as a full termstats collect — so
     * replica scores are identical to the full searcher's and a fan-out
     * tier can merge replica top-ks by (score DESC, docId ASC) exactly.
+    *
+    * SCALE CONTRACT: replicas are slice-scoped. The full-range default
+    * silently collects the ENTIRE posting set — fine for tests, a
+    * scale-killer on a big index — so the slice's posting count is
+    * checked (one tiny pushed-filter aggregate) against `rowBudget`
+    * BEFORE the collect and `onOversize` fires when it exceeds it.
     */
   def fromIndex(index: InvertedIndex, shardLo: Int = 0,
-      shardHi: Int = Int.MaxValue): LocalSearcher = {
-    import org.apache.spark.sql.functions.col
+      shardHi: Int = Int.MaxValue,
+      rowBudget: Long = DefaultReplicaRowBudget,
+      onOversize: String => Unit = m => System.err.println(s"[graft] WARN $m")): LocalSearcher = {
+    import org.apache.spark.sql.functions.{col, sum}
     val p = index.bm25
     val ad = index.avgdl
-    val lists = index.postings
+    val slice = index.postings
       .filter(col("shard") >= shardLo && col("shard") <= shardHi)
-      .collect().map(pl => graft.index.DecodedList.from(pl, p, ad))
+    val totalPostings = slice.agg(sum(col("df"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    if (totalPostings > rowBudget)
+      onOversize(s"serving replica would collect $totalPostings postings " +
+        s"(budget $rowBudget) for shard range [$shardLo, $shardHi] of ${index.dir} — " +
+        "replicas are slice-scoped at scale; pass an explicit shard range")
+    val lh = index.lensHandle
+    val lists = slice.collect().map { pl =>
+      // replica-side decode: the shard's lens window loads once per shard
+      // (LensStore cache) and is shared by every list of that shard
+      graft.index.DecodedList.from(pl, p, ad, lh.forShard(pl.shard),
+        pl.shard.toLong * lh.docsPerShard)
+    }
     val byTerm = lists.groupBy(_.term).map { case (t, ls) => t -> ls.sortBy(_.shard) }
     new LocalSearcher(byTerm, index.termInfo, index.nDocs, index.avgdl, index.bm25)
   }

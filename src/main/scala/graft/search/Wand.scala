@@ -236,13 +236,15 @@ object Wand {
   }
 
   /** Convenience: build cursors then run. `idfByTerm` must contain every
-    * list's term.
+    * list's term; `lens`/`base` give the lists' shard doc-length window
+    * (all lists must share one shard — the per-shard task contract).
     */
   def topKLists(lists: Seq[PostingList], idfByTerm: Map[String, Double],
-      params: BM25.Params, avgdl: Double, k: Int): Array[Hit] = {
+      params: BM25.Params, avgdl: Double, k: Int,
+      lens: Array[Int], base: Long): Array[Hit] = {
     val cursors = lists
       .sortBy(_.term) // deterministic evaluation order
-      .map(pl => new PostingCursor(pl, params, avgdl, idfByTerm(pl.term)))
+      .map(pl => new PostingCursor(pl, params, avgdl, idfByTerm(pl.term), lens, base))
     topK(cursors, k)
   }
 }

@@ -37,15 +37,22 @@ object QpsProbe {
           index.postings.filter(col("term").isin(terms: _*)).count()
           val scanSec = (System.nanoTime() - t0) / 1e9
           val p = index.bm25; val ad = index.avgdl
+          val lh = index.lensHandle
           val t1 = System.nanoTime()
           index.postings.filter(col("term").isin(terms: _*))
-            .rdd.map(pl => graft.index.DecodedList.from(pl, p, ad).docIds.length.toLong)
+            .rdd.map(pl => graft.index.DecodedList.from(pl, p, ad,
+              lh.forShard(pl.shard), pl.shard.toLong * lh.docsPerShard)
+              .docIds.length.toLong)
             .reduce(_ + _)
           val decodeSec = (System.nanoTime() - t1) / 1e9
+          graft.index.PostingStats.reset()
           val t2 = System.nanoTime()
           index.wandTopKBatch(batch, 10).count()
           val sec = (System.nanoTime() - t2) / 1e9
-          println(f"PROBE cpus=$cpus rep=$r scan=$scanSec%.3f scan+decode=$decodeSec%.3f full=$sec%.3f qps=${nq / sec}%.1f")
+          // decode-payload bytes walked by the whole batch (process-wide
+          // counter — valid in local mode where tasks share the JVM)
+          val bytesPerQ = graft.index.PostingStats.bytes().toDouble / nq
+          println(f"PROBE cpus=$cpus rep=$r scan=$scanSec%.3f scan+decode=$decodeSec%.3f full=$sec%.3f qps=${nq / sec}%.1f bytesPerQuery=$bytesPerQ%.0f")
         }
       } finally spark.stop()
     }

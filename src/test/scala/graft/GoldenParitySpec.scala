@@ -64,5 +64,20 @@ class GoldenParitySpec extends AnyFunSuite {
     val l = built.lambdas.collect().map(_.getDouble(1))
     assert(l.forall(v => v >= 0.0 && v <= 1.0))
     assert(l.distinct.length > 5)
+
+    // The paper's second golden (paper.md:123-143 transcript):
+    // Jaccard(baseline cosine top-3, λ-aware α=0.9 take(k+1)=top-4) =
+    // 0.750 — the example computes the λ-aware side over the FIRST k+1
+    // of a k+5 search (examples/01_compare_cosine.rs:166-180), i.e. the
+    // top-4 must contain all three cosine winners plus exactly one
+    // λ-surfaced outsider (the paper's "index 30 being the outlier not
+    // spotted by cosine similarity").
+    val lamTop4 = DenseLambda.searchLambdaAware(items, built, q, lq, 8, alpha = 0.9)
+      .collect().map(_.getLong(0)).take(4).toSet
+    val baseSet = cosTop.toSet
+    val jaccard = baseSet.intersect(lamTop4).size.toDouble /
+      baseSet.union(lamTop4).size.toDouble
+    assert(jaccard == 0.750, s"golden Jaccard 0.750 vs $jaccard " +
+      s"(cosine $baseSet, lambda-aware top-4 $lamTop4)")
   }
 }

@@ -414,6 +414,21 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("replica collect is budget-guarded: full-range over-budget warns, sliced fits") {
+    val warnings = scala.collection.mutable.Buffer[String]()
+    // tiny budget: the full-range default must trip the guard…
+    graft.search.LocalSearcher.fromIndex(index, rowBudget = 10L,
+      onOversize = warnings += _)
+    assert(warnings.size == 1 && warnings.head.contains("slice-scoped"))
+    // …while a real slice under budget stays silent (and the default
+    // budget doesn't fire on this corpus either)
+    warnings.clear()
+    graft.search.LocalSearcher.fromIndex(index, shardLo = 0, shardHi = 0,
+      rowBudget = 1000000L, onOversize = warnings += _)
+    graft.search.LocalSearcher.fromIndex(index, onOversize = warnings += _)
+    assert(warnings.isEmpty)
+  }
+
   test("docId assignment is deterministic across rebuilds") {
     val t2 = Files.createTempDirectory("graft-index2").toString
     val idx2 = IndexBuilder.build(

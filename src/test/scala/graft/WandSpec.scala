@@ -39,6 +39,21 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  /** Dense doc-length window for base 0 (tests keep every list in one
+    * shard window) — the v5 LensStore side-array shape.
+    */
+  def lensOf(dls: Map[Long, Long]): Array[Int] = {
+    val arr = new Array[Int]((dls.keys.max + 1).toInt)
+    dls.foreach { case (d, l) => arr(d.toInt) = l.toInt }
+    arr
+  }
+
+  def lensOf(ids: Array[Long], dls: Array[Long]): Array[Int] = {
+    val arr = new Array[Int]((ids.max + 1).toInt)
+    ids.indices.foreach(i => arr(ids(i).toInt) = dls(i).toInt)
+    arr
+  }
+
   def bruteTopK(docs: Map[Long, Map[String, Long]], dls: Map[Long, Long],
       idf: Map[String, Double], avgdl: Double, q: Seq[String], k: Int): Seq[(Long, Double)] = {
     docs.toSeq.flatMap { case (d, ts) =>
@@ -56,8 +71,8 @@ class WandSpec extends AnyFunSuite {
       val dls = Array.fill(n)(5L + rnd.nextInt(200).toLong)
       val pl = PostingFormat.encode("x", 3, ids, tfs, dls, params, 50.0)
       assert(pl.df == n)
-      val (i2, t2, d2) = PostingFormat.decodeAll(pl)
-      assert(i2.toSeq == ids.toSeq && t2.toSeq == tfs.toSeq && d2.toSeq == dls.toSeq)
+      val (i2, t2) = PostingFormat.decodeAll(pl)
+      assert(i2.toSeq == ids.toSeq && t2.toSeq == tfs.toSeq)
       // block-max invariant: every partial <= its block max <= maxPartial
       val nb = pl.blockLen.length
       assert(nb == (n + 127) / 128)
@@ -76,7 +91,7 @@ class WandSpec extends AnyFunSuite {
     val tfs = Array.fill(n)(1L)
     val dls = Array.fill(n)(10L)
     val pl = PostingFormat.encode("x", 0, ids, tfs, dls, params, 10.0)
-    val c = new PostingCursor(pl, params, 10.0, 1.0)
+    val c = new PostingCursor(pl, params, 10.0, 1.0, lensOf(ids, dls), 0L)
     c.advanceTo(500)
     assert(c.docId == 502) // first id >= 500: 502 = 3*167+1
     c.advanceTo(2998)
@@ -88,7 +103,7 @@ class WandSpec extends AnyFunSuite {
   test("cursor sequential next() visits every posting") {
     val ids = (1L to 300L).toArray
     val pl = PostingFormat.encode("x", 0, ids, ids.map(_ => 1L), ids.map(_ => 10L), params, 10.0)
-    val c = new PostingCursor(pl, params, 10.0, 1.0)
+    val c = new PostingCursor(pl, params, 10.0, 1.0, lensOf(ids, ids.map(_ => 10L)), 0L)
     val seen = scala.collection.mutable.ArrayBuffer[Long]()
     while (!c.exhausted) { seen += c.docId; c.next() }
     assert(seen.toSeq == ids.toSeq)
@@ -111,7 +126,8 @@ class WandSpec extends AnyFunSuite {
         val q = lists.keys.toSeq.sorted.take(2)
         for (k <- Seq(3, 17)) {
           val want = bruteTopK(docs, dls, idf, avgdl, q, k)
-          val got = Wand.topKLists(q.flatMap(lists.get), idf, params, avgdl, k)
+          val got = Wand.topKLists(q.flatMap(lists.get), idf, params, avgdl, k,
+              lensOf(dls), 0L)
             .map(h => (h.docId, h.score)).toSeq
           assert(got.map(_._1) == want.map(_._1), s"trial=$trial k=$k: $got vs $want")
         }
@@ -133,7 +149,8 @@ class WandSpec extends AnyFunSuite {
       val q = rnd.shuffle(lists.keys.toList).take(qSize)
       for (k <- Seq(1, 3, 10)) {
         val want = bruteTopK(docs, dls, idf, avgdl, q, k)
-        val got = Wand.topKLists(q.flatMap(lists.get), idf, params, avgdl, k)
+        val got = Wand.topKLists(q.flatMap(lists.get), idf, params, avgdl, k,
+            lensOf(dls), 0L)
           .map(h => (h.docId, h.score)).toSeq
         assert(got.map(_._1) == want.map(_._1),
           s"trial=$trial k=$k q=$q: ${got.take(5)} vs ${want.take(5)}")
@@ -152,8 +169,10 @@ class WandSpec extends AnyFunSuite {
       val lists = buildLists(docs, dls, avgdl)
       val idf = lists.map { case (t, pl) => t -> BM25.idf(300.0, pl.df.toDouble) }
       val q = lists.keys.toSeq.sorted.take(3)
-      val a = Wand.topKLists(q.flatMap(lists.get), idf, params, avgdl, 10)
-      val decoded = q.flatMap(lists.get).map(pl => DecodedList.from(pl, params, avgdl))
+      val a = Wand.topKLists(q.flatMap(lists.get), idf, params, avgdl, 10,
+        lensOf(dls), 0L)
+      val decoded = q.flatMap(lists.get)
+        .map(pl => DecodedList.from(pl, params, avgdl, lensOf(dls), 0L))
       val b = Wand.topK(decoded.sortBy(_.term).map(dl => new DecodedCursor(dl, idf(dl.term))), 10)
       assert(a.map(h => (h.docId, h.score)).toSeq == b.map(h => (h.docId, h.score)).toSeq)
     }
@@ -163,7 +182,8 @@ class WandSpec extends AnyFunSuite {
     import graft.index.{DecodedCursor, DecodedList}
     val ids = (0 until 1000).map(i => i.toLong * 3 + 1).toArray
     val pl = PostingFormat.encode("x", 0, ids, ids.map(_ => 1L), ids.map(_ => 10L), params, 10.0)
-    val c = new DecodedCursor(DecodedList.from(pl, params, 10.0), 1.0)
+    val c = new DecodedCursor(
+      DecodedList.from(pl, params, 10.0, lensOf(ids, ids.map(_ => 10L)), 0L), 1.0)
     c.advanceTo(500); assert(c.docId == 502)
     c.advanceTo(502); assert(c.docId == 502) // no-op at target
     c.advanceTo(2998); assert(c.docId == 2998)
@@ -183,9 +203,9 @@ class WandSpec extends AnyFunSuite {
 
   def slackCandidates(lists: Map[String, graft.index.PostingList],
       idf: Map[String, Double], avgdl: Double, q: Seq[String], k: Int,
-      slack: Double): Array[Wand.Hit] = {
+      slack: Double, lens: Array[Int]): Array[Wand.Hit] = {
     val cursors = q.sorted.flatMap(lists.get)
-      .map(pl => new PostingCursor(pl, params, avgdl, idf(pl.term)))
+      .map(pl => new PostingCursor(pl, params, avgdl, idf(pl.term), lens, 0L))
     Wand.candidatesWithSlack(cursors, k, slack)
   }
 
@@ -204,7 +224,7 @@ class WandSpec extends AnyFunSuite {
           val theta = if (all.size < k) Double.NegativeInfinity else sortedScores(k - 1)
           val slack = slackScale * math.max(sortedScores.head, 1e-9)
           val want = all.filter { case (_, s) => s >= theta - slack }
-          val got = slackCandidates(lists, idf, avgdl, q, k, slack)
+          val got = slackCandidates(lists, idf, avgdl, q, k, slack, lensOf(dls))
           assert(got.map(_.docId).toSet == want.keySet,
             s"trial=$trial k=$k sl=$slackScale: got ${got.length} want ${want.size}")
           got.foreach(h => assert(math.abs(h.score - want(h.docId)) < 1e-12))
@@ -235,7 +255,7 @@ class WandSpec extends AnyFunSuite {
             .sortBy { case (d, s) => (-s, d) }.take(k).map(_._1)
         val exhaustive = topK(all)
         val slack = (1 - alpha) / alpha * ubNorm
-        val viaWand = topK(slackCandidates(lists, idf, avgdl, q, k, slack)
+        val viaWand = topK(slackCandidates(lists, idf, avgdl, q, k, slack, lensOf(dls))
           .map(h => (h.docId, h.score)))
         assert(viaWand == exhaustive, s"trial=$trial α=$alpha k=$k")
       }
@@ -261,7 +281,7 @@ class WandSpec extends AnyFunSuite {
     assert(exhaustiveBlocks == pl.blockLen.length.toLong)
     PostingStats.reset()
     val cand = Wand.candidatesWithSlack(
-      Seq(new PostingCursor(pl, params, 10.0, idf("hot"))), 10, slack)
+      Seq(new PostingCursor(pl, params, 10.0, idf("hot"), lensOf(ids, dls), 0L)), 10, slack)
     val prunedBlocks = PostingStats.decoded()
     assert(cand.nonEmpty)
     assert(prunedBlocks < exhaustiveBlocks / 10,
@@ -295,9 +315,10 @@ class WandSpec extends AnyFunSuite {
     val avgdl = dls.values.sum.toDouble / dls.size
     val lists = buildLists(docs, dls, avgdl)
     val idf = lists.map { case (t, pl) => t -> BM25.idf(20.0, pl.df.toDouble) }
-    val got = Wand.topKLists(List("t0").flatMap(lists.get), idf, params, avgdl, 1000)
+    val got = Wand.topKLists(List("t0").flatMap(lists.get), idf, params, avgdl, 1000,
+      lensOf(dls), 0L)
     val matching = docs.count(_._2.contains("t0"))
     assert(got.length == matching)
-    assert(Wand.topKLists(Nil, idf, params, avgdl, 5).isEmpty)
+    assert(Wand.topKLists(Nil, idf, params, avgdl, 5, Array.empty[Int], 0L).isEmpty)
   }
 }

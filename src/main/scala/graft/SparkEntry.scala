@@ -17,6 +17,30 @@ object SparkEntry {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Oracle-artifact export root. Formerly non-SQL-expressible gates
+    * (λ/graph/blend searches) export the engine's OWN built artifacts —
+    * λ tables, graph-Laplacian COO edges, query-λ/ubNorm scalars — here,
+    * and their oracleSql reads them back as INPUT tables via
+    * read_parquet, then independently recomputes the search/ranking
+    * math in SQL (mirroring the reference's own persisted artifacts,
+    * /root/reference/src/storage/parquet.rs:344-449, 637-746). The path
+    * is FIXED because oracleSql is a static map: each Verify run
+    * overwrites the exports for its sf dir before the driver replays
+    * the SQL (the driver's flow runs them back-to-back; concurrent
+    * Verify runs against different sf dirs would race these files and
+    * are not a driver flow).
+    */
+  val OracleExportDir = "/tmp/graft_oracle"
+
+  private def exportOracle(df: DataFrame, gate: String, name: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"$OracleExportDir/$gate/$name")
+
+  /** One-row parquet of named scalar doubles (query-λ, ubNorm, …). */
+  private def exportParams(s: SparkSession, gate: String, kv: (String, Double)*): Unit = {
+    val one = kv.foldLeft(s.range(1).toDF())((d, p) => d.withColumn(p._1, lit(p._2)))
+    exportOracle(one.drop("id"), gate, "params")
+  }
+
   /** (doc_id, term) token stream of the documents table, SQL-replayable
     * tokenizer mode (lower + split [^a-z0-9]+).
     */
@@ -126,28 +150,68 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
         .withColumnRenamed("id", "vec_id")
     }),
-    // λτ spectral index per item (not SQL-expressible: graph Laplacian +
-    // synthetic λ; driver records rows-only check)
+    // λτ spectral index per item. ORACLE (since r5): the feature-graph
+    // Laplacian COO is exported as an input table and DuckDB recomputes
+    // the dense synthetic λ — τ = median of the item's own values
+    // (floor 1e-10), E = xᵀLx/xᵀx, G = Σ((w·d²)/ΣE)², λ = τ·E/(E+τ) +
+    // (1−τ)·clamp(G,0,1) — per item; both sides floored to 1e-6.
     "lambda_dense" -> ((s, dir) => {
+      import s.implicits._
       val items = embeddingItems(s, dir)
-      graft.lambda.DenseLambda.build(s, items,
-        graft.lambda.DenseLambda.Config(maxClusters = 16)).lambdas
+      val built = graft.lambda.DenseLambda.build(s, items,
+        graft.lambda.DenseLambda.Config(maxClusters = 16))
+      val g = built.lambdaGraph
+      val coo = for {
+        i <- 0 until g.n
+        k <- g.indptr(i) until g.indptr(i + 1)
+      } yield (i.toLong, g.indices(k).toLong, g.values(k))
+      exportOracle(coo.toDF("i", "j", "v"), "lambda_dense", "graph")
+      built.lambdas.withColumnRenamed("id", "vec_id")
+        .withColumn("lambda", floor(col("lambda") * 1e6) / 1e6)
     }),
-    // λ-aware blended search (α=0.9), reference Q1 semantics
+    // λ-aware blended search (α=0.9), reference Q1 semantics. ORACLE:
+    // exported λ table + λq; DuckDB recomputes cos and the blend rank.
     "lambda_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val items = embeddingItems(s, dir)
       val built = graft.lambda.DenseLambda.build(s, items,
         graft.lambda.DenseLambda.Config(maxClusters = 16))
       val q = items.filter(_._1 == 0L).head()._2
       val lq = graft.lambda.DenseLambda.queryLambda(q, built)
+      exportOracle(built.lambdas.withColumnRenamed("id", "vec_id"),
+        "lambda_search", "lambdas")
+      exportParams(s, "lambda_search", "lq" -> lq)
       graft.lambda.DenseLambda.searchLambdaAware(items, built, q, lq, 10, alpha = 0.9)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+        .select(col("rank"), col("id").as("vec_id"))
     }),
-    // per-doc λτ over the term-cooccurrence graph (north-star signal)
-    "doc_lambda" -> ((s, dir) => documentsLambda(s, dir).lambdas),
-    // BM25 + λ blended top-k (α=0.7) over the documents index
+    // per-doc λτ over the term-cooccurrence graph (north-star signal).
+    // ORACLE: docterms + graph COO + vocab exported; DuckDB recomputes
+    // the SPARSE synthetic λ per doc (τ = mean over the full F-dim
+    // vector = Σw/F floored 1e-10; off-support edge terms counted twice
+    // by symmetry); both sides floored to 1e-6.
+    "doc_lambda" -> ((s, dir) => {
+      val li = documentsLambda(s, dir)
+      exportOracle(s.read.parquet(s"${li.dir}/graph"), "doc_lambda", "graph")
+      exportOracle(s.read.parquet(s"${li.dir}/docterms"), "doc_lambda", "docterms")
+      exportOracle(s.read.parquet(s"${li.dir}/vocab"), "doc_lambda", "vocab")
+      li.lambdas.withColumn("lambda", floor(col("lambda") * 1e6) / 1e6)
+    }),
+    // BM25 + λ blended top-k (α=0.7) over the documents index. ORACLE:
+    // exported λ table + (λq, ubNorm); DuckDB recomputes BM25 from the
+    // documents table and the blend rank (rank-identity gate).
     "blended_topk" -> ((s, dir) => {
-      documentsLambda(s, dir)
-        .blendedTopK(documentsIndex(s, dir), "stream merge window", 10, alpha = 0.7)
+      import org.apache.spark.sql.expressions.Window
+      val li = documentsLambda(s, dir)
+      val idx = documentsIndex(s, dir)
+      val (lq, ubNorm) = li.blendInputs(idx, "stream merge window")
+      exportOracle(li.lambdas, "blended_topk", "lambdas")
+      exportParams(s, "blended_topk", "lq" -> lq, "ub_norm" -> ubNorm)
+      li.blendedTopK(idx, "stream merge window", 10, alpha = 0.7)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("rank"), col("doc_id"))
     }),
 
     // -- deduplication suite ---------------------------------------------
@@ -173,8 +237,14 @@ object SparkEntry {
       graft.ops.TextStats.qualityScore(table(s, dir, "documents"), "text", "doc_id")),
     "token_counts" -> ((s, dir) =>
       graft.ops.TextStats.tokenCounts(table(s, dir, "documents"), "text", "doc_id")),
-    "fingerprint" -> ((s, dir) =>
-      graft.ops.TextStats.fingerprint(table(s, dir, "documents"), "text", "doc_id")),
+    // ORACLE (since r5): the engine's Rabin–Karp gram-hash stream is the
+    // exported input; DuckDB independently replays the winnowing
+    // window-min (rightmost-tie) selection over it.
+    "fingerprint" -> ((s, dir) => {
+      exportOracle(graft.ops.TextStats.fingerprintGrams(
+        table(s, dir, "documents"), "text", "doc_id"), "fingerprint", "grams")
+      graft.ops.TextStats.fingerprint(table(s, dir, "documents"), "text", "doc_id")
+    }),
     "pii_redact" -> ((s, dir) =>
       graft.ops.TextStats.redactPii(table(s, dir, "documents"), "text", "doc_id")),
     "rep_ratio" -> ((s, dir) =>
@@ -184,20 +254,39 @@ object SparkEntry {
     // IVF runs over the MATERIALIZED cluster-partitioned layout: nprobe
     // selection = partition pruning at the parquet source (OpsSpec
     // asserts PartitionFilters in the scan)
+    // ORACLE (since r5): the engine's cluster-assignment table and its
+    // probed-cluster list are exported; DuckDB reproduces "exact cosine
+    // top-k restricted to the probed clusters" independently — the IVF
+    // candidate-pruning semantics, not just a rows count.
     "ann_ivf" -> ((s, dir) => {
+      import s.implicits._
       val items = embeddingItems(s, dir)
       val ivfDir = s"/tmp/graft_ivf_${ivfKey(s, dir)}_16"
       val ivf = graft.ops.Similarity.materializeIvf(items, nlist = 16, ivfDir)
       val q = items.filter(_._1 == 0L).head()._2
+      exportOracle(ivf.assigned.withColumnRenamed("id", "vec_id"), "ann_ivf", "assigned")
+      exportOracle(graft.ops.Similarity.probeClusters(ivf.model, q, nprobe = 4)
+        .toDF("cluster"), "ann_ivf", "probed")
       graft.ops.Similarity.ivfTopKPruned(s, ivf.model, ivfDir, q, 10, nprobe = 4)
         .withColumn("cos", round(col("cos"), 6))
+        .withColumnRenamed("id", "vec_id")
     }),
+    // ORACLE (since r5): exported (id, bucket) table + the query's
+    // Hamming-ball probe list; DuckDB reproduces "exact cosine top-k
+    // over bucket-matching candidates".
     "ann_lsh" -> ((s, dir) => {
+      import s.implicits._
       val items = embeddingItems(s, dir)
       val buckets = graft.ops.Similarity.lshBuckets(items, nPlanes = 12)
       val q = items.filter(_._1 == 0L).head()._2
+      val qb = graft.ops.Similarity.signBits(q,
+        graft.ops.Similarity.hyperplanes(12, q.length, 42L))
+      exportOracle(buckets.withColumnRenamed("id", "vec_id"), "ann_lsh", "buckets")
+      exportOracle(graft.ops.Similarity.hammingBall(qb, 2).toDF("bucket"),
+        "ann_lsh", "probed")
       graft.ops.Similarity.lshTopK(items, buckets, q, 10, nPlanes = 12)
         .withColumn("cos", round(col("cos"), 6))
+        .withColumnRenamed("id", "vec_id")
     }),
     // LSH with the Hamming ball at full radius covers every bucket —
     // degenerates to exact brute force: SQL-oracle-checkable proof of
@@ -235,27 +324,48 @@ object SparkEntry {
       graft.ops.Multimodal.decode(
         graft.ops.Multimodal.synthesize(table(s, dir, "documents"), "doc_id", "text"))),
 
-    // -- remaining search surfaces (not SQL-expressible; rows-only) ------
-    // energy-only pipeline search (E8) over embeddings
+    // energy-only pipeline search (E8) over embeddings. ORACLE: exported
+    // energy-λ table + λq; score = −(wλ·|λq−λ| + wD·min(‖q−x‖/(1+‖q−x‖),1))
+    // recomputed in SQL (rank-identity gate).
     "energy_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val items = embeddingItems(s, dir)
       val built = graft.lambda.EnergyMaps.build(s, items,
         graft.lambda.EnergyMaps.Config(maxClusters = 12))
       val q = items.filter(_._1 == 0L).head()._2
+      exportOracle(built.lambdas.withColumnRenamed("id", "vec_id"),
+        "energy_search", "lambdas")
+      exportParams(s, "energy_search",
+        "lq" -> graft.lambda.EnergyMaps.queryLambda(q, built))
       graft.lambda.EnergyMaps.searchEnergy(items, built, q, 10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+        .select(col("rank"), col("id").as("vec_id"))
     }),
-    // hybrid search (Q2): λ-top-k ∪ semantic-top-1 ∪ cos>0.9999
+    // hybrid search (Q2): λ-top-k ∪ semantic-top-1 ∪ cos>0.9999. ORACLE:
+    // exported λ table + λq; DuckDB rebuilds the candidate union and the
+    // blended rank (rank-identity gate).
     "hybrid_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val items = embeddingItems(s, dir)
       val built = graft.lambda.DenseLambda.build(s, items,
         graft.lambda.DenseLambda.Config(maxClusters = 16))
       val q = items.filter(_._1 == 0L).head()._2
       val lq = graft.lambda.DenseLambda.queryLambda(q, built)
+      exportOracle(built.lambdas.withColumnRenamed("id", "vec_id"),
+        "hybrid_search", "lambdas")
+      exportParams(s, "hybrid_search", "lq" -> lq)
       graft.lambda.DenseLambda.searchHybrid(items, built, q, lq, 10, alpha = 0.9)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+        .select(col("rank"), col("id").as("vec_id"))
     }),
-    // ZSET-style ordered λ-band paging (Q5)
+    // ZSET-style ordered λ-band paging (Q5). ORACLE: the exported λ
+    // table is the input; the band/order/offset/limit replays in SQL
+    // with byte-identical doubles.
     "lambda_zrange" -> ((s, dir) => {
       val li = documentsLambda(s, dir)
+      exportOracle(li.lambdas, "lambda_zrange", "lambdas")
       li.rangeByScore(0.0, 1.0, offset = 5, count = 10)
     }),
 
@@ -767,7 +877,236 @@ object SparkEntry {
         |  FROM embeddings e CROSS JOIN q CROSS JOIN idx
         |  GROUP BY e.vec_id)
         |SELECT CAST(row_number() OVER (ORDER BY sq ASC, vec_id ASC) AS INT) AS rank, vec_id
-        |FROM d ORDER BY rank LIMIT 10""".stripMargin
+        |FROM d ORDER BY rank LIMIT 10""".stripMargin,
+
+    // ---- exported-artifact oracles (r5): the engine's own persisted
+    // artifacts (λ tables, graph COO, query scalars) are INPUT tables;
+    // DuckDB independently recomputes the search/ranking math ----------
+    "lambda_zrange" ->
+      s"""SELECT doc_id, lambda
+         |FROM read_parquet('$OracleExportDir/lambda_zrange/lambdas/*.parquet')
+         |WHERE lambda >= 0.0 AND lambda <= 1.0
+         |ORDER BY lambda ASC, doc_id ASC LIMIT 10 OFFSET 5""".stripMargin,
+    "blended_topk" -> {
+      // same BM25 CTEs as the wand oracles; blend = α·bm25/ubNorm +
+      // (1−α)·(1−min(|λq−λd|,1)) with the engine's exported λ/λq/ubNorm;
+      // (1.0 - 0.7) spelled as the subtraction so DuckDB's double equals
+      // Spark's lit(1.0 - alpha)
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok WHERE term <> '' GROUP BY doc_id),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+         |q(term) AS (VALUES ('stream'), ('merge'), ('window')),
+         |bm AS (
+         |  SELECT tf.doc_id,
+         |    sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |         * tf.tf * (1.2 + 1.0)
+         |         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS bm25
+         |  FROM tf JOIN q ON tf.term = q.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN df ON tf.term = df.term
+         |  CROSS JOIN stats GROUP BY tf.doc_id),
+         |lam AS (SELECT doc_id, lambda
+         |        FROM read_parquet('$OracleExportDir/blended_topk/lambdas/*.parquet')),
+         |p AS (SELECT lq, ub_norm
+         |      FROM read_parquet('$OracleExportDir/blended_topk/params/*.parquet')),
+         |scored AS (
+         |  SELECT bm.doc_id,
+         |    0.7 * (bm.bm25 / p.ub_norm) +
+         |    (1.0 - 0.7) * (1.0 - least(abs(p.lq - coalesce(lam.lambda, 0.0)), 1.0)) AS score
+         |  FROM bm LEFT JOIN lam ON bm.doc_id = lam.doc_id CROSS JOIN p)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, doc_id
+         |FROM scored ORDER BY rank LIMIT 10""".stripMargin
+    },
+    "lambda_search" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |idx AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+         |pairs AS (
+         |  SELECT e.vec_id,
+         |    sum(CAST(e.embedding[idx.i] AS DOUBLE) * CAST(q.qe[idx.i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[idx.i] AS DOUBLE) * CAST(e.embedding[idx.i] AS DOUBLE)) AS na,
+         |    sum(CAST(q.qe[idx.i] AS DOUBLE) * CAST(q.qe[idx.i] AS DOUBLE)) AS nb
+         |  FROM embeddings e CROSS JOIN q CROSS JOIN idx GROUP BY e.vec_id),
+         |lam AS (SELECT vec_id, lambda
+         |        FROM read_parquet('$OracleExportDir/lambda_search/lambdas/*.parquet')),
+         |p AS (SELECT lq FROM read_parquet('$OracleExportDir/lambda_search/params/*.parquet')),
+         |scored AS (
+         |  SELECT pairs.vec_id,
+         |    0.9 * (pairs.dot / (sqrt(pairs.na) * sqrt(pairs.nb))) +
+         |    (1.0 - 0.9) * (1.0 - least(abs(p.lq - lam.lambda), 1.0)) AS score
+         |  FROM pairs JOIN lam USING (vec_id) CROSS JOIN p)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank, vec_id
+         |FROM scored ORDER BY rank LIMIT 10""".stripMargin,
+    "hybrid_search" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |idx AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+         |pairs AS (
+         |  SELECT e.vec_id,
+         |    sum(CAST(e.embedding[idx.i] AS DOUBLE) * CAST(q.qe[idx.i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[idx.i] AS DOUBLE) * CAST(e.embedding[idx.i] AS DOUBLE)) AS na,
+         |    sum(CAST(q.qe[idx.i] AS DOUBLE) * CAST(q.qe[idx.i] AS DOUBLE)) AS nb
+         |  FROM embeddings e CROSS JOIN q CROSS JOIN idx GROUP BY e.vec_id),
+         |cosv AS (SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM pairs),
+         |lam AS (SELECT vec_id, lambda
+         |        FROM read_parquet('$OracleExportDir/hybrid_search/lambdas/*.parquet')),
+         |p AS (SELECT lq FROM read_parquet('$OracleExportDir/hybrid_search/params/*.parquet')),
+         |scored AS (
+         |  SELECT cosv.vec_id, cosv.cos,
+         |    0.9 * cosv.cos + (1.0 - 0.9) * (1.0 - least(abs(p.lq - lam.lambda), 1.0)) AS score
+         |  FROM cosv JOIN lam USING (vec_id) CROSS JOIN p),
+         |cand AS (
+         |  SELECT vec_id FROM (SELECT vec_id FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10)
+         |  UNION
+         |  SELECT vec_id FROM (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 1)
+         |  UNION
+         |  SELECT vec_id FROM scored WHERE cos > 0.9999)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank, vec_id
+         |FROM scored JOIN cand USING (vec_id)
+         |ORDER BY rank LIMIT 10""".stripMargin,
+    "energy_search" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |idx AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+         |d AS (
+         |  SELECT e.vec_id,
+         |    sum((CAST(e.embedding[idx.i] AS DOUBLE) - CAST(q.qe[idx.i] AS DOUBLE))
+         |      * (CAST(e.embedding[idx.i] AS DOUBLE) - CAST(q.qe[idx.i] AS DOUBLE))) AS sq
+         |  FROM embeddings e CROSS JOIN q CROSS JOIN idx GROUP BY e.vec_id),
+         |lam AS (SELECT vec_id, lambda
+         |        FROM read_parquet('$OracleExportDir/energy_search/lambdas/*.parquet')),
+         |p AS (SELECT lq FROM read_parquet('$OracleExportDir/energy_search/params/*.parquet')),
+         |dist AS (
+         |  SELECT d.vec_id,
+         |    1.0 * abs(p.lq - lam.lambda) +
+         |    0.5 * least(sqrt(d.sq) / (1.0 + sqrt(d.sq)), 1.0) AS dist
+         |  FROM d JOIN lam USING (vec_id) CROSS JOIN p)
+         |SELECT CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INT) AS rank, vec_id
+         |FROM dist ORDER BY rank LIMIT 10""".stripMargin,
+    "doc_lambda" ->
+      s"""WITH dt AS (SELECT docId AS doc_id, termIdx AS ti, weight AS w
+         |           FROM read_parquet('$OracleExportDir/doc_lambda/docterms/*.parquet')),
+         |coo AS (SELECT i, j, v FROM read_parquet('$OracleExportDir/doc_lambda/graph/*.parquet')),
+         |nn AS (SELECT count(*)::DOUBLE AS n
+         |       FROM read_parquet('$OracleExportDir/doc_lambda/vocab/*.parquet')),
+         |tau AS (SELECT doc_id, greatest(sum(w) / nn.n, 1e-10) AS tau
+         |        FROM dt CROSS JOIN nn GROUP BY doc_id, nn.n),
+         |den AS (SELECT doc_id, sum(w * w) AS denom FROM dt GROUP BY doc_id),
+         |edges AS (
+         |  SELECT a.doc_id, coo.i, coo.j, coo.v, a.w AS xi, coalesce(b.w, 0.0) AS xj,
+         |    CASE WHEN b.w IS NULL THEN 2.0 ELSE 1.0 END AS factor
+         |  FROM dt a JOIN coo ON coo.i = a.ti
+         |  LEFT JOIN dt b ON b.doc_id = a.doc_id AND b.ti = coo.j),
+         |num AS (SELECT doc_id, sum(xi * v * xj) AS num FROM edges GROUP BY doc_id),
+         |ee AS (SELECT doc_id,
+         |         sum(CASE WHEN i <> j AND -v > 0.0
+         |             THEN factor * (-v) * (xi - xj) * (xi - xj) ELSE 0.0 END) AS e
+         |       FROM edges GROUP BY doc_id),
+         |gsq AS (SELECT edges.doc_id,
+         |          sum(CASE WHEN i <> j AND -v > 0.0
+         |              THEN factor * pow(((-v) * (xi - xj) * (xi - xj)) / ee.e, 2)
+         |              ELSE 0.0 END) AS g
+         |        FROM edges JOIN ee ON edges.doc_id = ee.doc_id
+         |        WHERE ee.e > 0.0 GROUP BY edges.doc_id),
+         |fin AS (
+         |  SELECT t.doc_id, t.tau,
+         |    CASE WHEN den.denom > 1e-12 THEN coalesce(num.num, 0.0) / den.denom
+         |         ELSE 0.0 END AS eraw,
+         |    coalesce(g.g, 0.0) AS graw
+         |  FROM tau t JOIN den USING (doc_id)
+         |  LEFT JOIN num USING (doc_id) LEFT JOIN gsq g USING (doc_id))
+         |SELECT doc_id,
+         |  floor((tau * (eraw / (eraw + tau)) +
+         |         (1.0 - tau) * least(greatest(graw, 0.0), 1.0)) * 1e6) / 1e6 AS lambda
+         |FROM fin""".stripMargin,
+    "lambda_dense" ->
+      s"""WITH coo AS (SELECT i, j, v FROM read_parquet('$OracleExportDir/lambda_dense/graph/*.parquet')),
+         |vals AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |tau AS (SELECT vec_id, greatest(median(x), 1e-10) AS tau FROM vals GROUP BY vec_id),
+         |den AS (SELECT vec_id, sum(x * x) AS denom FROM vals GROUP BY vec_id),
+         |edges AS (
+         |  SELECT e.vec_id, coo.i, coo.j, coo.v,
+         |    CAST(e.embedding[coo.i + 1] AS DOUBLE) AS xi,
+         |    CAST(e.embedding[coo.j + 1] AS DOUBLE) AS xj
+         |  FROM embeddings e CROSS JOIN coo),
+         |num AS (SELECT vec_id, sum(xi * v * xj) AS num FROM edges GROUP BY vec_id),
+         |ee AS (SELECT vec_id,
+         |         sum(CASE WHEN i <> j AND -v > 0.0
+         |             THEN (-v) * (xi - xj) * (xi - xj) ELSE 0.0 END) AS e
+         |       FROM edges GROUP BY vec_id),
+         |gsq AS (SELECT edges.vec_id,
+         |          sum(CASE WHEN i <> j AND -v > 0.0
+         |              THEN pow(((-v) * (xi - xj) * (xi - xj)) / ee.e, 2) ELSE 0.0 END) AS g
+         |        FROM edges JOIN ee USING (vec_id)
+         |        WHERE ee.e > 0.0 GROUP BY edges.vec_id),
+         |fin AS (
+         |  SELECT t.vec_id, t.tau,
+         |    CASE WHEN den.denom > 1e-12 THEN coalesce(num.num, 0.0) / den.denom
+         |         ELSE 0.0 END AS eraw,
+         |    coalesce(g.g, 0.0) AS graw
+         |  FROM tau t JOIN den USING (vec_id)
+         |  LEFT JOIN num USING (vec_id) LEFT JOIN gsq g USING (vec_id))
+         |SELECT vec_id,
+         |  floor((tau * (eraw / (eraw + tau)) +
+         |         (1.0 - tau) * least(greatest(graw, 0.0), 1.0)) * 1e6) / 1e6 AS lambda
+         |FROM fin""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |idx AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+         |pairs AS (
+         |  SELECT e.vec_id,
+         |    sum(CAST(e.embedding[idx.i] AS DOUBLE) * CAST(q.qe[idx.i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[idx.i] AS DOUBLE) * CAST(e.embedding[idx.i] AS DOUBLE)) AS na,
+         |    sum(CAST(q.qe[idx.i] AS DOUBLE) * CAST(q.qe[idx.i] AS DOUBLE)) AS nb
+         |  FROM embeddings e CROSS JOIN q CROSS JOIN idx GROUP BY e.vec_id),
+         |asn AS (SELECT vec_id, cluster
+         |        FROM read_parquet('$OracleExportDir/ann_ivf/assigned/*.parquet')),
+         |probed AS (SELECT cluster FROM read_parquet('$OracleExportDir/ann_ivf/probed/*.parquet')),
+         |cand AS (SELECT vec_id FROM asn JOIN probed USING (cluster))
+         |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+         |FROM pairs JOIN cand USING (vec_id)
+         |ORDER BY pairs.dot / (sqrt(pairs.na) * sqrt(pairs.nb)) DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "fingerprint" ->
+      // robust winnowing (k=4, w=4) replayed over the exported gram-hash
+      // stream: per window of 4 consecutive gram positions pick the min
+      // hash (rightmost on ties); docs with ≤ 4 grams are one window
+      s"""WITH g AS (SELECT doc_id, pos, gram
+         |           FROM read_parquet('$OracleExportDir/fingerprint/grams/*.parquet')),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |small AS (
+         |  SELECT g.doc_id, min(g.gram) AS fingerprint
+         |  FROM g JOIN cnt USING (doc_id) WHERE cnt.n <= 4 GROUP BY g.doc_id),
+         |win AS (
+         |  SELECT a.doc_id, a.pos AS wstart, b.pos, b.gram
+         |  FROM g a
+         |  JOIN cnt ON cnt.doc_id = a.doc_id
+         |  JOIN g b ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos AND a.pos + 3
+         |  WHERE cnt.n > 4 AND a.pos + 4 <= cnt.n),
+         |picked AS (
+         |  SELECT doc_id, wstart, gram,
+         |    row_number() OVER (PARTITION BY doc_id, wstart
+         |                       ORDER BY gram ASC, pos DESC) AS rn
+         |  FROM win)
+         |SELECT DISTINCT doc_id, gram AS fingerprint FROM picked WHERE rn = 1
+         |UNION ALL
+         |SELECT doc_id, fingerprint FROM small""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |idx AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+         |pairs AS (
+         |  SELECT e.vec_id,
+         |    sum(CAST(e.embedding[idx.i] AS DOUBLE) * CAST(q.qe[idx.i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[idx.i] AS DOUBLE) * CAST(e.embedding[idx.i] AS DOUBLE)) AS na,
+         |    sum(CAST(q.qe[idx.i] AS DOUBLE) * CAST(q.qe[idx.i] AS DOUBLE)) AS nb
+         |  FROM embeddings e CROSS JOIN q CROSS JOIN idx GROUP BY e.vec_id),
+         |bk AS (SELECT vec_id, bucket
+         |       FROM read_parquet('$OracleExportDir/ann_lsh/buckets/*.parquet')),
+         |probed AS (SELECT bucket FROM read_parquet('$OracleExportDir/ann_lsh/probed/*.parquet')),
+         |cand AS (SELECT vec_id FROM bk JOIN probed USING (bucket))
+         |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+         |FROM pairs JOIN cand USING (vec_id)
+         |ORDER BY pairs.dot / (sqrt(pairs.na) * sqrt(pairs.nb)) DESC, vec_id ASC LIMIT 10""".stripMargin
   )
 
   /** Rank-emitting variant of the cosine oracle (α=1 rank-identity

@@ -369,14 +369,34 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
     * divergence for non-matching docs, which a text engine never
     * surfaces).
     */
-  def blendedTopK(index: InvertedIndex, qText: String, k: Int, alpha: Double,
-      roundTo: Int = -1): DataFrame = {
+  /** The engine-side blend inputs for a query text: (λq, ubNorm) — λq
+    * from the query's own term multiset over the frozen vocab/CSR,
+    * ubNorm = Σ_t idf·(k1+1) over the query's INDEXED terms. Exposed so
+    * correctness gates can export the exact values blendedTopK uses as
+    * oracle input scalars (the oracle then recomputes the full blend
+    * ranking in SQL over these + the exported λ table).
+    */
+  def blendInputs(index: InvertedIndex, qText: String): (Double, Double) = {
     val tokMode = index.meta.getOrElse("tokenizer", "code")
     val fn: String => Array[String] =
       if (tokMode == "simple") CodeTokenizer.simpleTokens else CodeTokenizer.codeTokens
     val qTerms = fn(qText).toSeq
     val qCounts = qTerms.groupBy(identity).map { case (t, xs) => t -> xs.size }
     val lq = queryLambda(qCounts)
+    val info = index.termInfo(qTerms.distinct)
+    val ubNorm = info.values.map(_._1 * (index.bm25.k1 + 1.0)).sum.max(1e-12)
+    (lq, ubNorm)
+  }
+
+  def blendedTopK(index: InvertedIndex, qText: String, k: Int, alpha: Double,
+      roundTo: Int = -1): DataFrame = {
+    val tokMode = index.meta.getOrElse("tokenizer", "code")
+    val fn: String => Array[String] =
+      if (tokMode == "simple") CodeTokenizer.simpleTokens else CodeTokenizer.codeTokens
+    val qTerms = fn(qText).toSeq
+    // λq and ubNorm come from the SHARED blendInputs path (also the
+    // gates' oracle-export source — one definition, no drift)
+    val (lq, ubNorm0) = blendInputs(index, qText)
     val terms = qTerms.distinct
     val info = index.termInfo(terms)
     // Candidate generation is bound-safe block-max WAND, NOT exhaustive
@@ -397,7 +417,7 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
     // the same distributed path instead of a driver-side fallback (the
     // reference's full scan, core.rs:760-798, restricted to matching
     // docs — documented divergence).
-    val ubNorm = info.values.map(_._1 * (index.bm25.k1 + 1.0)).sum.max(1e-12)
+    val ubNorm = ubNorm0
     val tightUb = info.values.map { case (i, u) => i * u }.sum
     val slack =
       if (alpha <= 0.0) tightUb

@@ -30,14 +30,22 @@ object Similarity {
     * cluster filter prunes the scan (at scale: cluster = partition key →
     * partition pruning at the source).
     */
+  /** The `nprobe` clusters nearest to `q` (squared L2 to the centroid,
+    * ties by cluster id) — the probe set both IVF query paths share and
+    * the ann_ivf oracle gate exports.
+    */
+  def probeClusters(model: SeededKMeans.Model, q: Array[Double],
+      nprobe: Int): Seq[Int] =
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, SeededKMeans.sqDist(q, c)) }
+      .sortBy { case (i, d) => (d, i) }
+      .take(nprobe).map(_._1).toSeq
+
   def ivfTopK(items: Dataset[(Long, Array[Double])], ivf: IvfIndex,
       q: Array[Double], k: Int, nprobe: Int): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
-    val byDist = ivf.model.centroids.zipWithIndex
-      .map { case (c, i) => (i, SeededKMeans.sqDist(q, c)) }
-      .sortBy { case (i, d) => (d, i) }
-      .take(nprobe).map(_._1).toSet
+    val byDist = probeClusters(ivf.model, q, nprobe).toSet
     val bq = spark.sparkContext.broadcast(q)
     items.toDF("id", "vec")
       .join(ivf.assigned, "id")
@@ -71,10 +79,7 @@ object Similarity {
   def ivfTopKPruned(spark: SparkSession, model: SeededKMeans.Model, dir: String,
       q: Array[Double], k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val byDist = model.centroids.zipWithIndex
-      .map { case (c, i) => (i, SeededKMeans.sqDist(q, c)) }
-      .sortBy { case (i, d) => (d, i) }
-      .take(nprobe).map(_._1).toSeq
+    val byDist = probeClusters(model, q, nprobe)
     val bq = spark.sparkContext.broadcast(q)
     spark.read.parquet(dir)
       .filter(col("cluster").isin(byDist: _*))

@@ -133,7 +133,9 @@ object TextStats {
     *
     * Guarantee (the property the spec asserts): two documents sharing a
     * token run of length ≥ w + k − 1 share at least one fingerprint.
-    * Not SQL-expressible — rows-only gate.
+    * ORACLE (since r5): the gram-hash stream ([[fingerprintGrams]]) is
+    * exported as the oracle's input table and the window-min selection
+    * (rightmost-tie winnowing) replays independently in SQL.
     *
     * [[fingerprint]] emits the harness-friendly EXPLODED shape
     * (doc_id, fingerprint) — one row per selected hash (an array column
@@ -145,24 +147,48 @@ object TextStats {
     fingerprintSets(docs, textCol, idCol, k, w)
       .select(col("doc_id"), explode(col("fingerprints")).as("fingerprint"))
 
+  /** Rabin–Karp `k`-gram hash stream of one text (base 257 mod 2⁶¹−1)
+    * — shared by [[fingerprintSets]] and the oracle-export path
+    * ([[fingerprintGrams]]): one definition, no drift between the gate
+    * and its exported oracle input.
+    */
+  def gramsOf(text: String, k: Int): Array[Long] = {
+    val MOD = (1L << 61) - 1
+    val B = 257L
+    val toks = graft.tokenize.CodeTokenizer.simpleTokens(text)
+    def hashTok(s: String): Long = {
+      var h = 0L
+      s.foreach { c => h = (h * B + c.toLong) % MOD }
+      h
+    }
+    val hs = toks.map(hashTok)
+    if (hs.isEmpty) Array.empty[Long]
+    else if (hs.length < k) Array(hs.foldLeft(0L)((a, x) => (a * B + x) % MOD))
+    else hs.sliding(k).map(_.foldLeft(0L)((a, x) => (a * B + x) % MOD)).toArray
+  }
+
+  /** The exploded gram-hash stream (doc_id, pos, gram) — the winnowing
+    * oracle's INPUT table: the hashes are the engine's (SQL cannot
+    * reproduce the modular rolling hash), the window-min selection is
+    * then independently replayed in SQL.
+    */
+  def fingerprintGrams(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        gramsOf(text, k).iterator.zipWithIndex.map { case (g, p) => (id, p, g) }
+      }
+      .toDF("doc_id", "pos", "gram")
+  }
+
   def fingerprintSets(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val MOD = (1L << 61) - 1
-    val B = 257L
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)].map { case (id, text) =>
-      val toks = graft.tokenize.CodeTokenizer.simpleTokens(text)
-      def hashTok(s: String): Long = {
-        var h = 0L
-        s.foreach { c => h = (h * B + c.toLong) % MOD }
-        h
-      }
-      val hs = toks.map(hashTok)
-      val grams =
-        if (hs.isEmpty) Array.empty[Long]
-        else if (hs.length < k) Array(hs.foldLeft(0L)((a, x) => (a * B + x) % MOD))
-        else hs.sliding(k).map(_.foldLeft(0L)((a, x) => (a * B + x) % MOD)).toArray
+      val grams = gramsOf(text, k)
       val selected =
         if (grams.isEmpty) Array.empty[Long]
         else if (grams.length <= w) Array(grams.min) // whole doc is one window

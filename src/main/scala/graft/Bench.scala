@@ -110,7 +110,7 @@ object Bench {
 
   /** Per-stage wall times from the build's lineage sidecars. */
   def stageWallMs(dir: String): Map[String, Double] =
-    Seq("docs", "termfreq", "doclens", "postings", "termstats").flatMap { s =>
+    Seq("docs", "termfreq", "doclens", "lens", "postings", "termstats").flatMap { s =>
       val p = java.nio.file.Paths.get(s"$dir/$s/_lineage.json")
       if (java.nio.file.Files.exists(p)) {
         val j = java.nio.file.Files.readString(p)
@@ -502,7 +502,7 @@ object Bench {
     def f(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     // per-stage scaling decomposition from the accepted best attempts'
     // lineage wall times: eff_s = t1_s / (4·t4_s)
-    val stageNames = Seq("docs", "termfreq", "doclens", "postings", "termstats")
+    val stageNames = Seq("docs", "termfreq", "doclens", "lens", "postings", "termstats")
     val stageRows = stageNames.flatMap { s =>
       (r1.probe.get(s"stage_$s"), r4.probe.get(s"stage_$s")) match {
         case (Some(m1), Some(m4)) if m4 > 0 => Some((s, m1, m4, m1 / (4.0 * m4)))

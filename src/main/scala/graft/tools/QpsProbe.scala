@@ -27,6 +27,33 @@ object QpsProbe {
         val index = new InvertedIndex(spark, dir)
         val nq = sys.env.getOrElse("PROBE_BATCH", "4096").toInt
         val batch = graft.Bench.queryBatch(index.nDocs, nq)
+        // payload accounting for the v5 dl-sidecar change, over exactly
+        // the lists this batch walks: bytes stored now (doc+tf streams)
+        // vs the dl LEB128 stream the v4 layout would ALSO have carried
+        // (reconstructed exactly from the lens sidecar — varint size of
+        // each posting's dl)
+        locally {
+          import org.apache.spark.sql.functions.col
+          val terms = batch.flatMap(_._2).distinct
+          val lh = index.lensHandle
+          val (nowB, dlB) = index.postings.filter(col("term").isin(terms: _*))
+            .rdd.map { pl =>
+              val lens = lh.forShard(pl.shard)
+              val base = pl.shard.toLong * lh.docsPerShard
+              val (ids, _) = graft.index.PostingFormat.decodeAll(pl)
+              var dl = 0L
+              var i = 0
+              while (i < ids.length) {
+                var v = lens((ids(i) - base).toInt).toLong
+                var n = 1L
+                while (v >= 0x80) { v >>>= 7; n += 1 }
+                dl += n; i += 1
+              }
+              (pl.docBytes.length.toLong + pl.tfBytes.length.toLong, dl)
+            }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+          println(f"PAYLOAD cpus=$cpus terms=${terms.length} docTfBytes=$nowB dlBytesV4=$dlB " +
+            f"v5/v4=${nowB.toDouble / (nowB + dlB)}%.4f")
+        }
         for (r <- 1 to reps) {
           System.gc()
           // stage decomposition: postings scan+filter only, then + decode,

@@ -36,6 +36,19 @@ import graft.tokenize.CodeTokenizer
   * contended window carries its own evidence instead of reading as a
   * regression.
   *
+  * THROTTLE PROTOCOL (round 5): jiffy accounting has a blind spot on
+  * this Firecracker guest — the host can slow the VM's effective clock
+  * (frequency capping, co-tenant memory-bandwidth pressure) without
+  * donating a single visible jiffy: observed as an UNCHANGED build
+  * stage running 31% slower while ext measured 0.0 cores (and round 4's
+  * 2× local[32] driver-vs-builder spread has the same signature).
+  * Every attempt therefore also brackets each timed phase with a
+  * single-core spin-speed sample ([[calSpin]]); the session keeps a
+  * ratcheting reference (best sample ever seen ≈ the unthrottled
+  * machine) and an attempt whose slowest bracket falls below
+  * [[CalFraction]] × reference is retried from the same bounded budget.
+  * Both guards' samples are published per attempt (ext_*, cal_*).
+  *
   * Query classes follow FIXTURES.md §B: Q1 common token, Q2 rare needle,
   * Q3 multi-term medium, Q4 hottest term, Q5 perturbed-document terms
   * (the reference's pick_query pattern,
@@ -64,8 +77,43 @@ object Bench {
     */
   val MaxExtraPairs = 3
   val MaxExtraFull = 2
+  /** Calibration floor: an attempt whose phase-bracketing spin-speed
+    * sample reads below CalFraction × the session's best observed
+    * sample ran in a host-THROTTLED window — frequency capping or
+    * memory-bandwidth contention by co-tenants, which on this
+    * Firecracker guest is invisible to jiffy accounting (round-5
+    * observation: an unchanged build stage ran 31% slower with
+    * ext ≈ 0.0 measured cores; round 4's unexplained 2× local[32]
+    * driver-vs-builder spread matches the same signature). Calm-window
+    * spin variance measured ±3-10% (turbo droop after full-width
+    * phases reaches 0.84× the session best), so 0.80 leaves headroom
+    * against false retries while catching the observed 25-50% throttle
+    * waves (0.50-0.75× ratios).
+    */
+  val CalFraction = 0.80
 
   // ---- window instrumentation ------------------------------------------
+
+  /** Single-core CPU-speed sample: xorshift64 spin for ~`ms` ms, in
+    * M iters/s. The direct complement to [[extCores]]: jiffy deltas see
+    * work the GUEST scheduled; this sees how fast the host actually let
+    * a core run. Sampled before/after each timed phase; the per-phase
+    * annotation is the min of its two brackets.
+    */
+  def calSpin(ms: Int = 300): Double = {
+    var x = 88172645463325252L
+    var n = 0L
+    val limit = ms * 1000000L
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < limit) {
+      var i = 0
+      while (i < 10000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      n += 10000
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) Console.err.println("cal sink") // defeat dead-code elim
+    n / sec / 1e6
+  }
 
   def loadAvg1(): Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
@@ -182,6 +230,8 @@ object Bench {
         corpusFp = s"warm:$Seed", IndexBuilder.Params(docsPerShard = 256L, numParts = 16))
       val dir = s"$dirBase/idx_cpu${cpus}_$attempt" // distinct dir per attempt: a shared dir would resume from checkpoints and time nothing
       Stage.deleteRecursive(java.nio.file.Paths.get(dir))
+      calSpin(50) // JIT the spin kernel before the first timed sample
+      val calPre = calSpin()
       val sb0 = snap()
       val t0 = System.nanoTime()
       // IDENTICAL job definition at every parallelism level: sharding and
@@ -197,6 +247,7 @@ object Bench {
           numParts = 32))
       val buildSec = (System.nanoTime() - t0) / 1e9
       val extBuild = extCores(sb0, snap())
+      val calMid = calSpin()
       // query phase: 128 shuffle partitions ≈ one doc-shard per task —
       // measured: the 64-partition default leaves 2-3-shard straggler
       // tasks that cost ~15% of the 4-core makespan (same setting at
@@ -214,6 +265,7 @@ object Bench {
         (System.nanoTime() - tb) / 1e9
       }.min
       val extBatch = extCores(sq0, snap())
+      val calPost = calSpin()
       // single-query latencies: distributed path (Spark job per query)
       // AND the in-memory serving tier (LocalSearcher — comparable to the
       // reference's in-process 8-19 ms criterion numbers). The singles
@@ -224,12 +276,16 @@ object Bench {
         if (!singlesToo) Map.empty[String, Double]
         else benchSingles(spark, index, nFiles, dirBase, cpus)
       val extSingles = if (singlesToo) extCores(ss0, snap()) else -1.0
+      val calEnd = if (singlesToo) calSpin() else -1.0
       val probe = Map(
         "load_pre" -> loadPre,
         "load_post" -> loadAvg1(),
         "ext_build" -> extBuild,
-        "ext_batch" -> extBatch) ++
-        (if (singlesToo) Map("ext_singles" -> extSingles) else Map.empty) ++
+        "ext_batch" -> extBatch,
+        "cal_build" -> math.min(calPre, calMid),
+        "cal_batch" -> math.min(calMid, calPost)) ++
+        (if (singlesToo) Map("ext_singles" -> extSingles,
+          "cal_singles" -> math.min(calPost, calEnd)) else Map.empty) ++
         stageWallMs(dir)
       // attempt dirs are single-use (a resumed dir would time nothing) —
       // drop the index now so a retry-heavy run can't accumulate one
@@ -391,6 +447,39 @@ object Bench {
       .map(v => if (v < 0.0) ExtThreshold else v) // per-phase: unknown ≠ calm
       .max
 
+  private val CalKeys = Seq("cal_build", "cal_batch", "cal_singles")
+
+  /** Slowest phase-bracketing spin sample of the attempt (M iters/s);
+    * -1 when no sample succeeded.
+    */
+  private def calOf(r: LevelResult): Double = {
+    val vs = CalKeys.flatMap(r.probe.get).filter(_ > 0)
+    if (vs.isEmpty) -1.0 else vs.min
+  }
+
+  /** Fastest spin sample of the attempt — feeds the session-wide
+    * calibration ratchet (the best sample ever seen approximates the
+    * unthrottled machine; a later window is judged against it).
+    */
+  private def calMaxOf(r: LevelResult): Double = {
+    val vs = CalKeys.flatMap(r.probe.get).filter(_ > 0)
+    if (vs.isEmpty) -1.0 else vs.max
+  }
+
+  /** Unified window-quality score: ≤ 1.0 accepts. max of the external-
+    * cores ratio (jiffy-visible contention) and the calibration deficit
+    * ratio (host throttle invisible to jiffies). An attempt with a
+    * failed probe scores exactly 1.0 on that axis: accepted — retrying
+    * blind burns budget with no signal — but never outranks a
+    * measured-good attempt.
+    */
+  private def badness(r: LevelResult, calRef: Double): Double = {
+    val e = extOf(r) / ExtThreshold
+    val c = calOf(r)
+    val cal = if (c <= 0 || calRef <= 0) CalFraction * calRef else c // unknown ≠ fast
+    math.max(e, if (calRef <= 0) 1.0 else (CalFraction * calRef) / math.max(cal, 1e-9))
+  }
+
   case class AttemptLog(level: Int, pair: Int, tryNo: Int, r: LevelResult,
       var accepted: Boolean)
 
@@ -439,9 +528,18 @@ object Bench {
     val attempts = scala.collection.mutable.Buffer[AttemptLog]()
     var extraBudget = MaxExtraPairs
     var attemptCounter = 0
+    // session calibration reference: best spin sample observed anywhere
+    // (parent samples seed it; every attempt's samples ratchet it up).
+    // NEW (round 5): the external-cores guard misses host throttle —
+    // frequency caps / bandwidth contention show ZERO external jiffies
+    // on a Firecracker guest while slowing every stage 25-50%.
+    calSpin(50)
+    var calRef = (1 to 3).map(_ => calSpin()).max
+    def ratchet(rs: LevelResult*): Unit =
+      rs.foreach(r => calRef = math.max(calRef, calMaxOf(r)))
     val pairs = (0 until 3).map { pairIdx =>
       var bestPair: Option[(LevelResult, LevelResult)] = None
-      var bestExt = Double.MaxValue
+      var bestBad = Double.MaxValue
       var tryNo = 0
       var done = false
       while (!done) {
@@ -452,10 +550,11 @@ object Bench {
         val a1 = AttemptLog(1, pairIdx, tryNo, r1, accepted = false)
         val a4 = AttemptLog(4, pairIdx, tryNo, r4, accepted = false)
         attempts += a1 += a4
-        val ext = math.max(extOf(r1), extOf(r4))
-        if (ext < bestExt) { bestExt = ext; bestPair = Some((r1, r4)) }
+        ratchet(r1, r4)
+        val bad = math.max(badness(r1, calRef), badness(r4, calRef))
+        if (bad < bestBad) { bestBad = bad; bestPair = Some((r1, r4)) }
         tryNo += 1
-        if (ext <= ExtThreshold || extraBudget <= 0) done = true
+        if (bad <= 1.0 || extraBudget <= 0) done = true
         else extraBudget -= 1
       }
       bestPair.get
@@ -472,15 +571,17 @@ object Bench {
     var r32 = runLevel(32, nFull, tmp, singles = true, attempt = attemptCounter)
     attempts += AttemptLog(32, -1, 0, r32, accepted = true)
     attemptCounter += 1
+    ratchet(r32)
     var fullBudget = MaxExtraFull
     var fullTry = 1
-    while (extOf(r32) > ExtThreshold && fullBudget > 0) {
+    while (badness(r32, calRef) > 1.0 && fullBudget > 0) {
       fullBudget -= 1
       val retry = runLevel(32, nFull, tmp, singles = true, attempt = attemptCounter)
       attemptCounter += 1
+      ratchet(retry)
       val a = AttemptLog(32, -1, fullTry, retry, accepted = false)
       fullTry += 1
-      if (extOf(retry) < extOf(r32)) {
+      if (badness(retry, calRef) < badness(r32, calRef)) {
         attempts.filter(x => x.level == 32 && x.accepted).foreach(_.accepted = false)
         a.accepted = true
         r32 = retry
@@ -524,6 +625,8 @@ object Bench {
         s""""load_pre":${f(p.getOrElse("load_pre", -1.0))},"load_post":${f(p.getOrElse("load_post", -1.0))},""" +
         s""""ext_build":${f(p.getOrElse("ext_build", -1.0))},"ext_batch":${f(p.getOrElse("ext_batch", -1.0))},""" +
         s""""ext_singles":${f(p.getOrElse("ext_singles", -1.0))},""" +
+        s""""cal_build":${f(p.getOrElse("cal_build", -1.0))},"cal_batch":${f(p.getOrElse("cal_batch", -1.0))},""" +
+        s""""cal_singles":${f(p.getOrElse("cal_singles", -1.0))},""" +
         s""""build_files_per_sec":${f(a.r.filesPerSec)},"qps":${f(a.r.qps)}}"""
     }.mkString("[", ",", "]")
     val stageJson = stageRows.map { case (s, m1, m4, e) =>
@@ -537,7 +640,8 @@ object Bench {
         s""""qps_n1":${f(r1.qps)},"qps_n4":${f(r4.qps)},"qps_n32_full":${f(r32.qps)},""" +
         s""""pair_eff_build":[${pairEffBuild.map(f).mkString(",")}],""" +
         s""""pair_eff_qps":[${pairEffQps.map(f).mkString(",")}],""" +
-        s""""ext_threshold":${f(ExtThreshold)},"attempts":$attemptsJson,""" +
+        s""""ext_threshold":${f(ExtThreshold)},"cal_ref":${f(calRef)},"cal_fraction":${f(CalFraction)},""" +
+        s""""attempts":$attemptsJson,""" +
         s""""stage_scaling":$stageJson,""" +
         s""""scaling_efficiency_build":${f(effBuild)},"scaling_efficiency_qps":${f(effQps)}}"""
     println(json)
@@ -556,6 +660,7 @@ object Bench {
         s"| ${a.level} | ${a.pair} | ${a.tryNo} | ${if (a.accepted) "yes" else "no"} " +
           s"| ${f(p.getOrElse("ext_build", -1.0))} | ${f(p.getOrElse("ext_batch", -1.0))} " +
           s"| ${f(p.getOrElse("ext_singles", -1.0))} " +
+          s"| ${f(p.getOrElse("cal_build", -1.0))}/${f(p.getOrElse("cal_batch", -1.0))} " +
           s"| ${f(p.getOrElse("load_pre", -1.0))}→${f(p.getOrElse("load_post", -1.0))} " +
           s"| ${f(a.r.filesPerSec)} | ${f(a.r.qps)} |"
       }.mkString("\n")
@@ -577,6 +682,14 @@ object Bench {
            |external load exceeded ${f(ExtThreshold)} cores were retried from a
            |bounded budget ($MaxExtraPairs extra pairs, $MaxExtraFull extra
            |full-machine runs); ALL attempts appear below with annotations.
+           |THROTTLE GUARD (round 5): jiffy accounting cannot see the host
+           |slowing this Firecracker guest's clocks (frequency caps /
+           |co-tenant memory-bandwidth contention show ext ≈ 0 while every
+           |stage runs 25-50% slower), so every attempt also brackets each
+           |timed phase with a single-core spin-speed sample (cal_*, M
+           |xorshift iters/s). An attempt whose slowest sample fell below
+           |${f(CalFraction)} × the session's best observed sample
+           |(cal_ref = ${f(calRef)}) was retried from the same budget.
            |The full-machine run (local[32], $nFull files) reports peak
            |single-box throughput.
            |
@@ -605,8 +718,8 @@ object Bench {
            |Attempt log (ext_* = external busy cores measured across the
            |phase; the contention evidence for this record):
            |
-           || level | pair | try | accepted | ext_build | ext_batch | ext_singles | load pre→post | files/s | qps |
-           || --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |
+           || level | pair | try | accepted | ext_build | ext_batch | ext_singles | cal build/batch | load pre→post | files/s | qps |
+           || --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |
            |$attemptTable
            |
            |Batch protocol: $BatchSize queries per job; the batch path

@@ -42,12 +42,21 @@ import graft.tokenize.CodeTokenizer
   * donating a single visible jiffy: observed as an UNCHANGED build
   * stage running 31% slower while ext measured 0.0 cores (and round 4's
   * 2× local[32] driver-vs-builder spread has the same signature).
-  * Every attempt therefore also brackets each timed phase with a
-  * single-core spin-speed sample ([[calSpin]]); the session keeps a
-  * ratcheting reference (best sample ever seen ≈ the unthrottled
-  * machine) and an attempt whose slowest bracket falls below
-  * [[CalFraction]] × reference is retried from the same bounded budget.
-  * Both guards' samples are published per attempt (ext_*, cal_*).
+  * Every attempt therefore also measures its own machine speed:
+  * phase-bracketing single-core spin samples ([[calSpin]]) plus — at
+  * the scaling levels — an in-phase daemon sampler ([[CalSampler]])
+  * recording the MIN spin and MIN single-thread DRAM-streaming rate
+  * through the phase (bracket samples miss waves that arrive
+  * MID-phase; the round-5 contaminated run showed docs 16% faster and
+  * postings 35% slower than the round-4 record within ONE attempt —
+  * only an in-phase signal can see that). References ratchet to the
+  * best sample ever seen (persisted across runs in
+  * /tmp/graft_bench_cal.json; DRAM refs per level, since the job's own
+  * thread count shifts the streaming reading) and an attempt whose
+  * slowest sample falls below [[CalFraction]] (spin) / [[MemFraction]]
+  * (stream) × reference is retried from the same bounded budget. All
+  * three guards' samples are published per attempt (ext_*, cal_*,
+  * mem_*).
   *
   * Query classes follow FIXTURES.md §B: Q1 common token, Q2 rare needle,
   * Q3 multi-term medium, Q4 hottest term, Q5 perturbed-document terms
@@ -91,8 +100,94 @@ object Bench {
     * waves (0.50-0.75× ratios).
     */
   val CalFraction = 0.80
+  /** Floor for the in-phase DRAM-streaming sample at the scaling levels
+    * (1 and 4 cores), as a fraction of the per-level reference. The
+    * dominant invisible contention mode on this box is co-tenant memory
+    * -bandwidth pressure: it leaves jiffies AND cpu clocks untouched
+    * (spin reads full speed) while Spark's memory-heavy stages run
+    * 25-50% slower — observed as stage-specific slowdowns inside one
+    * calm-annotated build (docs 16% FASTER than the round-4 record,
+    * postings 35% slower, same attempt). Waves cut the single-thread
+    * streaming rate 2-4×; 0.6 catches those while own-load noise at
+    * ≤ 4 worker threads on 32 cpus stays well above it.
+    */
+  val MemFraction = 0.6
 
   // ---- window instrumentation ------------------------------------------
+
+  /** Cross-run calibration references, persisted in /tmp so a fresh
+    * bench process (e.g. the round driver's) can judge its FIRST
+    * attempt against the machine's known-calm speed instead of only
+    * ratcheting within its own session. Monotone max merge; bounded
+    * retry budgets cap the damage of a stale-fast reference.
+    */
+  private val CalStatePath = java.nio.file.Paths.get("/tmp/graft_bench_cal.json")
+
+  def loadCalState(): Map[String, Double] = try {
+    val s = java.nio.file.Files.readString(CalStatePath)
+    """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  } catch { case _: Throwable => Map.empty }
+
+  def saveCalState(m: Map[String, Double]): Unit = try {
+    java.nio.file.Files.writeString(CalStatePath,
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""$k":${BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)}"""
+      }.mkString("{", ",", "}"))
+  } catch { case _: Throwable => () }
+
+  /** In-phase window sampler: a daemon thread alternates a 50 ms spin
+    * sample with one streaming pass over a 128 MB private array every
+    * ~2 s, recording the MIN of each since the last `take()`. Bracket
+    * samples (before/after a phase) miss waves that arrive MID-phase —
+    * this runs through the phase itself. Only used at the scaling
+    * levels (≤ 4 worker threads on 32 cpus: the sampler's ~4% duty
+    * cycle runs on idle cores and its DRAM share is ~1%); at local[32]
+    * the job's own full-width load would legitimately depress both
+    * signals, so level 32 keeps bracket-only acceptance.
+    */
+  final class CalSampler {
+    private var minSpin = Double.MaxValue
+    private var minMem = Double.MaxValue
+    @volatile private var stopped = false
+    private val arr = new Array[Long](16 * 1024 * 1024) // 128 MB >> LLC
+    locally { var i = 0; while (i < arr.length) { arr(i) = i; i += 1 } }
+    private def memSample(): Double = {
+      var s = 0L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < arr.length) { s += arr(i); i += 1 }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (s == 42L) Console.err.println("mem sink") // defeat dead-code elim
+      arr.length * 8.0 / sec / 1e9
+    }
+    memSample(); memSample() // JIT warm on the caller thread
+    private val th = new Thread(() => {
+      while (!stopped) {
+        val sp = calSpin(50)
+        val mb = memSample()
+        CalSampler.this.synchronized {
+          minSpin = math.min(minSpin, sp)
+          minMem = math.min(minMem, mb)
+        }
+        try Thread.sleep(2000) catch { case _: InterruptedException => () }
+      }
+    })
+    th.setDaemon(true)
+    th.setName("graft-cal-sampler")
+    th.start()
+    /** Min (spin M iters/s, stream GB/s) since the last take; resets the
+      * window. (-1, -1) if no sample landed in the window.
+      */
+    def take(): (Double, Double) = synchronized {
+      val r = (if (minSpin == Double.MaxValue) -1.0 else minSpin,
+        if (minMem == Double.MaxValue) -1.0 else minMem)
+      minSpin = Double.MaxValue
+      minMem = Double.MaxValue
+      r
+    }
+    def shutdown(): Unit = { stopped = true; th.interrupt() }
+  }
 
   /** Single-core CPU-speed sample: xorshift64 spin for ~`ms` ms, in
     * M iters/s. The direct complement to [[extCores]]: jiffy deltas see
@@ -232,6 +327,9 @@ object Bench {
       Stage.deleteRecursive(java.nio.file.Paths.get(dir))
       calSpin(50) // JIT the spin kernel before the first timed sample
       val calPre = calSpin()
+      // in-phase sampler at the scaling levels only (see CalSampler doc)
+      val sampler = if (cpus <= 4) Some(new CalSampler) else None
+      sampler.foreach(_.take()) // reset window at the build-phase start
       val sb0 = snap()
       val t0 = System.nanoTime()
       // IDENTICAL job definition at every parallelism level: sharding and
@@ -248,6 +346,7 @@ object Bench {
       val buildSec = (System.nanoTime() - t0) / 1e9
       val extBuild = extCores(sb0, snap())
       val calMid = calSpin()
+      val (spinB, memB) = sampler.map(_.take()).getOrElse((-1.0, -1.0))
       // query phase: 128 shuffle partitions ≈ one doc-shard per task —
       // measured: the 64-partition default leaves 2-3-shard straggler
       // tasks that cost ~15% of the 4-core makespan (same setting at
@@ -258,6 +357,7 @@ object Bench {
       // batch QPS (one Spark job for the whole batch); two timed reps,
       // min — single-rep wall clock swings ±15% with GC/page-cache state
       val batch = queryBatch(nFiles, BatchSize)
+      sampler.foreach(_.take()) // reset window at the batch-phase start
       val sq0 = snap()
       val batchSec = (1 to 2).map { _ =>
         val tb = System.nanoTime()
@@ -266,6 +366,8 @@ object Bench {
       }.min
       val extBatch = extCores(sq0, snap())
       val calPost = calSpin()
+      val (spinQ, memQ) = sampler.map(_.take()).getOrElse((-1.0, -1.0))
+      sampler.foreach(_.shutdown())
       // single-query latencies: distributed path (Spark job per query)
       // AND the in-memory serving tier (LocalSearcher — comparable to the
       // reference's in-process 8-19 ms criterion numbers). The singles
@@ -277,15 +379,23 @@ object Bench {
         else benchSingles(spark, index, nFiles, dirBase, cpus)
       val extSingles = if (singlesToo) extCores(ss0, snap()) else -1.0
       val calEnd = if (singlesToo) calSpin() else -1.0
+      // per-phase cal = min of the phase's brackets AND (at scaling
+      // levels) the in-phase sampler minimum; mem_* only exists where
+      // the sampler ran
+      def minPos(vs: Double*): Double = {
+        val p = vs.filter(_ > 0); if (p.isEmpty) -1.0 else p.min
+      }
       val probe = Map(
         "load_pre" -> loadPre,
         "load_post" -> loadAvg1(),
         "ext_build" -> extBuild,
         "ext_batch" -> extBatch,
-        "cal_build" -> math.min(calPre, calMid),
-        "cal_batch" -> math.min(calMid, calPost)) ++
+        "cal_build" -> minPos(calPre, calMid, spinB),
+        "cal_batch" -> minPos(calMid, calPost, spinQ),
+        "mem_build" -> memB,
+        "mem_batch" -> memQ) ++
         (if (singlesToo) Map("ext_singles" -> extSingles,
-          "cal_singles" -> math.min(calPost, calEnd)) else Map.empty) ++
+          "cal_singles" -> minPos(calPost, calEnd)) else Map.empty) ++
         stageWallMs(dir)
       // attempt dirs are single-use (a resumed dir would time nothing) —
       // drop the index now so a retry-heavy run can't accumulate one
@@ -466,18 +576,40 @@ object Bench {
     if (vs.isEmpty) -1.0 else vs.max
   }
 
-  /** Unified window-quality score: ≤ 1.0 accepts. max of the external-
-    * cores ratio (jiffy-visible contention) and the calibration deficit
-    * ratio (host throttle invisible to jiffies). An attempt with a
-    * failed probe scores exactly 1.0 on that axis: accepted — retrying
-    * blind burns budget with no signal — but never outranks a
-    * measured-good attempt.
+  /** Slowest in-phase DRAM-streaming sample of the attempt (GB/s);
+    * -1 when the sampler didn't run (level 32) or landed no sample.
     */
-  private def badness(r: LevelResult, calRef: Double): Double = {
+  private def memOf(r: LevelResult): Double = {
+    val vs = Seq("mem_build", "mem_batch").flatMap(r.probe.get).filter(_ > 0)
+    if (vs.isEmpty) -1.0 else vs.min
+  }
+
+  private def memMaxOf(r: LevelResult): Double = {
+    val vs = Seq("mem_build", "mem_batch").flatMap(r.probe.get).filter(_ > 0)
+    if (vs.isEmpty) -1.0 else vs.max
+  }
+
+  /** Unified window-quality score: ≤ 1.0 accepts. max over three axes:
+    * the external-cores ratio (jiffy-visible contention), the spin
+    * deficit ratio (cpu-clock throttle), and — at the scaling levels —
+    * the DRAM-streaming deficit ratio against the per-level reference
+    * (co-tenant bandwidth pressure; per-level because the job's own
+    * 1- vs 4-thread load legitimately shifts the sampler's reading).
+    * An attempt with a failed probe scores exactly 1.0 on that axis:
+    * accepted — retrying blind burns budget with no signal — but never
+    * outranks a measured-good attempt.
+    */
+  private def badness(r: LevelResult, calRef: Double, memRef: Double): Double = {
     val e = extOf(r) / ExtThreshold
     val c = calOf(r)
     val cal = if (c <= 0 || calRef <= 0) CalFraction * calRef else c // unknown ≠ fast
-    math.max(e, if (calRef <= 0) 1.0 else (CalFraction * calRef) / math.max(cal, 1e-9))
+    val spinBad = if (calRef <= 0) 1.0 else (CalFraction * calRef) / math.max(cal, 1e-9)
+    val memBad = if (memRef <= 0) 0.0 else {
+      val m = memOf(r)
+      val mm = if (m <= 0) MemFraction * memRef else m // unknown ≠ fast
+      (MemFraction * memRef) / math.max(mm, 1e-9)
+    }
+    math.max(e, math.max(spinBad, memBad))
   }
 
   case class AttemptLog(level: Int, pair: Int, tryNo: Int, r: LevelResult,
@@ -528,15 +660,25 @@ object Bench {
     val attempts = scala.collection.mutable.Buffer[AttemptLog]()
     var extraBudget = MaxExtraPairs
     var attemptCounter = 0
-    // session calibration reference: best spin sample observed anywhere
-    // (parent samples seed it; every attempt's samples ratchet it up).
+    // calibration references: best spin sample observed anywhere (global)
+    // and best DRAM-streaming sample per scaling level; both seeded from
+    // the cross-run state file and ratcheted up by every attempt.
     // NEW (round 5): the external-cores guard misses host throttle —
     // frequency caps / bandwidth contention show ZERO external jiffies
     // on a Firecracker guest while slowing every stage 25-50%.
+    val calState = loadCalState()
     calSpin(50)
-    var calRef = (1 to 3).map(_ => calSpin()).max
-    def ratchet(rs: LevelResult*): Unit =
-      rs.foreach(r => calRef = math.max(calRef, calMaxOf(r)))
+    var calRef = math.max(calState.getOrElse("spin", 0.0),
+      (1 to 3).map(_ => calSpin()).max)
+    val memRef = scala.collection.mutable.Map[Int, Double]()
+    Seq(1, 4).foreach(l => calState.get(s"mem$l").foreach(v => memRef(l) = v))
+    def memRefAt(cpus: Int): Double = memRef.getOrElse(cpus, -1.0)
+    def ratchet(rs: LevelResult*): Unit = rs.foreach { r =>
+      calRef = math.max(calRef, calMaxOf(r))
+      val mm = memMaxOf(r)
+      if (r.cpus <= 4 && mm > 0)
+        memRef(r.cpus) = math.max(memRef.getOrElse(r.cpus, 0.0), mm)
+    }
     val pairs = (0 until 3).map { pairIdx =>
       var bestPair: Option[(LevelResult, LevelResult)] = None
       var bestBad = Double.MaxValue
@@ -551,7 +693,8 @@ object Bench {
         val a4 = AttemptLog(4, pairIdx, tryNo, r4, accepted = false)
         attempts += a1 += a4
         ratchet(r1, r4)
-        val bad = math.max(badness(r1, calRef), badness(r4, calRef))
+        val bad = math.max(badness(r1, calRef, memRefAt(1)),
+          badness(r4, calRef, memRefAt(4)))
         if (bad < bestBad) { bestBad = bad; bestPair = Some((r1, r4)) }
         tryNo += 1
         if (bad <= 1.0 || extraBudget <= 0) done = true
@@ -574,14 +717,14 @@ object Bench {
     ratchet(r32)
     var fullBudget = MaxExtraFull
     var fullTry = 1
-    while (badness(r32, calRef) > 1.0 && fullBudget > 0) {
+    while (badness(r32, calRef, -1.0) > 1.0 && fullBudget > 0) {
       fullBudget -= 1
       val retry = runLevel(32, nFull, tmp, singles = true, attempt = attemptCounter)
       attemptCounter += 1
       ratchet(retry)
       val a = AttemptLog(32, -1, fullTry, retry, accepted = false)
       fullTry += 1
-      if (badness(retry, calRef) < badness(r32, calRef)) {
+      if (badness(retry, calRef, -1.0) < badness(r32, calRef, -1.0)) {
         attempts.filter(x => x.level == 32 && x.accepted).foreach(_.accepted = false)
         a.accepted = true
         r32 = retry
@@ -627,6 +770,7 @@ object Bench {
         s""""ext_singles":${f(p.getOrElse("ext_singles", -1.0))},""" +
         s""""cal_build":${f(p.getOrElse("cal_build", -1.0))},"cal_batch":${f(p.getOrElse("cal_batch", -1.0))},""" +
         s""""cal_singles":${f(p.getOrElse("cal_singles", -1.0))},""" +
+        s""""mem_build":${f(p.getOrElse("mem_build", -1.0))},"mem_batch":${f(p.getOrElse("mem_batch", -1.0))},""" +
         s""""build_files_per_sec":${f(a.r.filesPerSec)},"qps":${f(a.r.qps)}}"""
     }.mkString("[", ",", "]")
     val stageJson = stageRows.map { case (s, m1, m4, e) =>
@@ -641,10 +785,13 @@ object Bench {
         s""""pair_eff_build":[${pairEffBuild.map(f).mkString(",")}],""" +
         s""""pair_eff_qps":[${pairEffQps.map(f).mkString(",")}],""" +
         s""""ext_threshold":${f(ExtThreshold)},"cal_ref":${f(calRef)},"cal_fraction":${f(CalFraction)},""" +
+        s""""mem_ref_n1":${f(memRefAt(1))},"mem_ref_n4":${f(memRefAt(4))},"mem_fraction":${f(MemFraction)},""" +
         s""""attempts":$attemptsJson,""" +
         s""""stage_scaling":$stageJson,""" +
         s""""scaling_efficiency_build":${f(effBuild)},"scaling_efficiency_qps":${f(effQps)}}"""
     println(json)
+    saveCalState(Map("spin" -> calRef) ++
+      memRef.toMap.map { case (l, v) => s"mem$l" -> v })
     // machine-readable copy: the driver parses the printed line, but a
     // logger-decorated stdout (round-1 failure mode) must not lose the
     // result — BENCH.json always carries the identical payload
@@ -661,6 +808,7 @@ object Bench {
           s"| ${f(p.getOrElse("ext_build", -1.0))} | ${f(p.getOrElse("ext_batch", -1.0))} " +
           s"| ${f(p.getOrElse("ext_singles", -1.0))} " +
           s"| ${f(p.getOrElse("cal_build", -1.0))}/${f(p.getOrElse("cal_batch", -1.0))} " +
+          s"| ${f(p.getOrElse("mem_build", -1.0))}/${f(p.getOrElse("mem_batch", -1.0))} " +
           s"| ${f(p.getOrElse("load_pre", -1.0))}→${f(p.getOrElse("load_post", -1.0))} " +
           s"| ${f(a.r.filesPerSec)} | ${f(a.r.qps)} |"
       }.mkString("\n")
@@ -683,13 +831,23 @@ object Bench {
            |bounded budget ($MaxExtraPairs extra pairs, $MaxExtraFull extra
            |full-machine runs); ALL attempts appear below with annotations.
            |THROTTLE GUARD (round 5): jiffy accounting cannot see the host
-           |slowing this Firecracker guest's clocks (frequency caps /
-           |co-tenant memory-bandwidth contention show ext ≈ 0 while every
-           |stage runs 25-50% slower), so every attempt also brackets each
-           |timed phase with a single-core spin-speed sample (cal_*, M
-           |xorshift iters/s). An attempt whose slowest sample fell below
-           |${f(CalFraction)} × the session's best observed sample
-           |(cal_ref = ${f(calRef)}) was retried from the same budget.
+           |slowing this Firecracker guest (frequency caps and co-tenant
+           |DRAM pressure show ext ≈ 0 while stages run 25-50% slower), so
+           |every attempt also measures its own machine speed: brackets of
+           |a single-core spin sample around each phase (cal_*, M xorshift
+           |iters/s), plus — at the scaling levels — an in-phase daemon
+           |sampler that records the MIN spin and MIN single-thread
+           |DRAM-streaming rate (mem_*, GB/s over a 128 MB private array)
+           |every ~2 s THROUGH the phase, catching waves that arrive
+           |mid-phase. An attempt was retried from the same budget when its
+           |slowest spin fell below ${f(CalFraction)} × the best observed
+           |sample (cal_ref = ${f(calRef)}, persisted across runs in
+           |/tmp/graft_bench_cal.json) or its slowest stream fell below
+           |${f(MemFraction)} × the per-level reference (mem_ref n1
+           |${f(memRefAt(1))} / n4 ${f(memRefAt(4))} GB/s; per-level
+           |because the job's own thread count shifts the reading; level 32
+           |keeps bracket-only acceptance since its own full-width load
+           |legitimately saturates both signals).
            |The full-machine run (local[32], $nFull files) reports peak
            |single-box throughput.
            |
@@ -718,8 +876,8 @@ object Bench {
            |Attempt log (ext_* = external busy cores measured across the
            |phase; the contention evidence for this record):
            |
-           || level | pair | try | accepted | ext_build | ext_batch | ext_singles | cal build/batch | load pre→post | files/s | qps |
-           || --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |
+           || level | pair | try | accepted | ext_build | ext_batch | ext_singles | cal build/batch | mem build/batch | load pre→post | files/s | qps |
+           || --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |
            |$attemptTable
            |
            |Batch protocol: $BatchSize queries per job; the batch path

@@ -83,9 +83,13 @@ object Bench {
   /** Global budget of EXTRA scaling pairs (beyond the 3 protocol pairs)
     * spent retrying contended windows; the level-32 run gets its own
     * small budget. Bounded so a long wave cannot stall the bench.
+    * Sized for SUSTAINED daytime storms (round-5 observation: an hour
+    * of host waves exhausted a 3-pair budget inside pair 0, leaving
+    * later pairs to accept clock-throttled windows), not just the
+    * ~10-minute waves round 4 measured.
     */
-  val MaxExtraPairs = 3
-  val MaxExtraFull = 2
+  val MaxExtraPairs = 6
+  val MaxExtraFull = 3
   /** Calibration floor: an attempt whose phase-bracketing spin-speed
     * sample reads below CalFraction × the session's best observed
     * sample ran in a host-THROTTLED window — frequency capping or

@@ -1,7 +1,6 @@
 package graft.index
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.Dataset
 import graft.corpus.SourceFile
 
 /** Deterministic, dense, resume-stable docId assignment — Dataset-only
@@ -12,17 +11,55 @@ import graft.corpus.SourceFile
   *    (deterministic for a fixed partition count — no RangePartitioner
   *    sampling, whose boundaries vary between runs),
   *  - local rank = position in the (repo, path, commit) sort within the
-  *    partition,
+  *    partition (binary UTF-8 order — exactly Spark's string sort),
   *  - offset = prefix sum of per-partition counts (a tiny driver-side
   *    collect of `numParts` longs — scale-safe at any corpus size).
   *
-  * Two actions run over the same shuffle; Spark reuses the shuffle files
-  * for the second pass, so the corpus is scanned once and shuffled once.
+  * The corpus is GENERATED/SCANNED ONCE and SHUFFLED ONCE (v6): both the
+  * counting pass and the id-attach pass are jobs over the same
+  * materialized shuffle RDD, so the second job reuses the first job's
+  * shuffle files instead of recomputing the input (the former shape ran
+  * a separate key-hash aggregation for the counts — one full extra pass
+  * over the corpus, ~a third of the docs-stage wall time). The
+  * in-partition sort runs inside the id-attach task over the partition's
+  * rows (bounded by corpusSize / numParts) with a byte-wise UTF-8
+  * comparator — identical ordering to `sortWithinPartitions` on string
+  * columns (UTF8String compares binary UTF-8), nulls first.
   */
 object DocIds {
 
   case class Doc(docId: Long, repo: String, path: String, commit: String,
       lang: String, content: String)
+
+  /** Byte-wise UTF-8 comparison — Spark's UTF8String.compareTo order
+    * (which is NOT java.lang.String order for non-ASCII), nulls first
+    * like Spark's default NULLS FIRST ascending sort.
+    */
+  private def cmpUtf8(a: String, b: String): Int = {
+    if (a eq b) return 0
+    if (a == null) return -1
+    if (b == null) return 1
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private val byKey: java.util.Comparator[SourceFile] = new java.util.Comparator[SourceFile] {
+    def compare(a: SourceFile, b: SourceFile): Int = {
+      var c = cmpUtf8(a.repo, b.repo)
+      if (c != 0) return c
+      c = cmpUtf8(a.path, b.path)
+      if (c != 0) return c
+      cmpUtf8(a.commit, b.commit)
+    }
+  }
 
   /** `base` offsets every id — an appended epoch's ids start at the
     * current corpus size (the Iceberg-snapshot analog: each snapshot's
@@ -31,34 +68,35 @@ object DocIds {
   def assign(files: Dataset[SourceFile], numParts: Int, base: Long = 0L): Dataset[Doc] = {
     val spark = files.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.{count => cnt, _}
-    // Pass 1 — per-partition counts WITHOUT materializing the shuffle:
-    // `pmod(hash(keys), P)` is exactly HashPartitioning's partition-id
-    // expression (Murmur3 seed 42), so the counts of the future shuffle
-    // partitions come from a narrow, column-pruned aggregation (only the
-    // key columns are read; map-side partial combine; the tiny (P rows)
-    // result is collected). No cache, no double shuffle.
-    val counts: Array[(Int, Long)] = files
-      .groupBy(pmod(hash($"repo", $"path", $"commit"), lit(numParts)).as("part"))
-      .agg(cnt(lit(1)).as("n"))
+    // ONE exchange, materialized once: both jobs below hang off this RDD,
+    // so the count pass generates + shuffles the corpus and the id pass
+    // reads the same shuffle files back (skipped map stage).
+    val shuffled = files
+      .repartition(numParts, $"repo", $"path", $"commit")
+      .as[SourceFile]
+      .rdd
+    // Pass 1 — per-partition counts straight from the shuffle output.
+    val counts: Array[(Int, Long)] = shuffled
+      .mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator((pid, n))
+      }
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
     val offsets = new Array[Long](numParts)
     var acc = base
     counts.sortBy(_._1).foreach { case (pid, n) => offsets(pid) = acc; acc += n }
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    // Pass 2 — the actual shuffle + in-partition sort + id attach.
-    files
-      .repartition(numParts, $"repo", $"path", $"commit")
-      .sortWithinPartitions($"repo", $"path", $"commit")
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var next = bOffsets.value(pid)
-        it.map { f =>
-          val d = Doc(next, f.repo, f.path, f.commit, f.lang, f.content)
-          next += 1
-          d
-        }
+    // Pass 2 — in-task key sort (bounded by the partition) + id attach.
+    spark.createDataset(shuffled.mapPartitionsWithIndex { (pid, it) =>
+      val arr = it.toArray
+      java.util.Arrays.sort(arr, byKey)
+      var next = bOffsets.value(pid)
+      arr.iterator.map { f =>
+        val d = Doc(next, f.repo, f.path, f.commit, f.lang, f.content)
+        next += 1
+        d
       }
+    })
   }
 }

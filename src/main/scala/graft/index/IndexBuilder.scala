@@ -29,13 +29,15 @@ object IndexBuilder {
       tokenizer: String = "code", // "code" | "simple"
       mergeBuckets: Int = 1, // >1 → the posting merge commits per bucket (mid-merge resume)
       termBuckets: Int = 0) { // >0 → postings laid out under tbucket=<crc32(term)%B>/ dirs
-    // v5: doc lengths moved OUT of the posting payload into the
-    // shard-local LensStore side arrays (lens/ stage) — posting schema
-    // changed (no dlBytes/blockDlOff), so every stage recomputes.
-    // (v4: per-doc termfreq aggregation, termstats ub column.)
-    // tb appears only when enabled so existing v5 stage caches survive.
+    // v6: termfreq is ONE ROW PER DOCUMENT (doc_id, terms[], tfs[], dl)
+    // instead of one row per (doc, term) — the doclens stage becomes a
+    // projection, and the postings merge shuffles ~#docs array rows
+    // grouped by doc-shard instead of ~#postings Kryo-buffered rows
+    // grouped by (term, shard). Schema change → every stage recomputes.
+    // (v5: dl sidecar/LensStore; v4: per-doc termfreq aggregation.)
+    // tb appears only when enabled so existing v6 stage caches survive.
     def fingerprint: String =
-      s"v5;dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets" +
+      s"v6;dps=$docsPerShard;np=$numParts;k1=${bm25.k1};b=${bm25.b};tok=$tokenizer;mb=$mergeBuckets" +
         (if (termBuckets > 0) s";tb=$termBuckets" else "")
   }
 
@@ -60,37 +62,44 @@ object IndexBuilder {
     docs.flatMap(d => fn(d.content).map(t => (d.docId, t))).toDF("doc_id", "term")
   }
 
-  /** (doc_id, term, tf, dl) aggregated PER DOCUMENT inside the flatMap:
+  /** (doc_id, terms[], tfs[], dl) — ONE ROW PER DOCUMENT, term counts
+    * aggregated inside the map (first-occurrence order: deterministic):
     * a document is one row, so its term counts (and its length) complete
-    * in-task — no shuffle, no corpus-wide hash aggregation. The former
-    * token-explode + groupBy(doc_id, term) shuffled one row per TOKEN
-    * (~10⁸ rows per million docs) through the worst-scaling stage of the
-    * build (measured 1→4-core efficiency 0.66 vs 0.99 for the
-    * CPU-bound postings kernel — DRAM-bandwidth-bound); per-doc
-    * aggregation makes tokenization embarrassingly parallel, which is
-    * also the 100 TB shape (the only remaining build shuffles are the
-    * docId assignment and the (term, shard) posting merge). Carrying dl
-    * on every row also drops the tf⋈dl join from the postings stage.
+    * in-task — no shuffle, no corpus-wide hash aggregation. v6 keeps the
+    * doc's terms as parallel arrays instead of exploding to one row per
+    * (doc, term): the artifact writes ~#docs rows (the doc_id/dl columns
+    * stop repeating per posting), the doclens stage degrades to a
+    * projection, and the postings merge ships grouped array rows through
+    * its shuffle. Row-level consumers explode via [[explodeTermFreq]].
     */
   def termFreqPerDoc(docs: Dataset[Doc], mode: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val fn: String => Array[String] =
       if (mode == "simple") CodeTokenizer.simpleTokens else CodeTokenizer.codeTokens
-    docs.flatMap { d =>
+    docs.map { d =>
       val toks = fn(d.content)
       val dl = toks.length.toLong
       val m = new java.util.LinkedHashMap[String, Long]() // first-occurrence order: deterministic
       toks.foreach(t => m.merge(t, 1L, (a, b) => a + b))
+      val terms = new Array[String](m.size)
+      val tfs = new Array[Long](m.size)
       val it = m.entrySet().iterator()
-      new Iterator[(Long, String, Long, Long)] {
-        def hasNext: Boolean = it.hasNext
-        def next(): (Long, String, Long, Long) = {
-          val e = it.next(); (d.docId, e.getKey, e.getValue, dl)
-        }
+      var i = 0
+      while (it.hasNext) {
+        val e = it.next(); terms(i) = e.getKey; tfs(i) = e.getValue; i += 1
       }
-    }.toDF("doc_id", "term", "tf", "dl")
+      (d.docId, terms, tfs, dl)
+    }.toDF("doc_id", "terms", "tfs", "dl")
   }
+
+  /** The v5 row view (doc_id, term, tf, dl) of a v6 per-doc termfreq
+    * frame — codegen'd explode for consumers that want posting rows.
+    */
+  def explodeTermFreq(tf: DataFrame): DataFrame =
+    tf.select(col("doc_id"), col("dl"),
+        explode(arrays_zip(col("terms"), col("tfs"))).as("z"))
+      .select(col("doc_id"), col("z.terms").as("term"), col("z.tfs").as("tf"), col("dl"))
 
   /** Build from raw files: assigns deterministic docIds (stage 1), then
     * runs the shared stages.
@@ -140,9 +149,9 @@ object IndexBuilder {
     }
 
     // ---- stage 2b: doc lengths + corpus stats -------------------------
-    // dl repeats on every (doc, term) row; max ≡ the per-doc value, and
-    // map-side partial aggregation collapses each task to ~#docs rows
-    // before the (tiny) shuffle. Corpus stats ride the SAME job as the
+    // v6 termfreq is one row per doc, so doclens is a pure PROJECTION —
+    // no aggregation, no shuffle (the former per-posting dl column
+    // needed a groupBy/max). Corpus stats ride the SAME job as the
     // write via observe() — the former doclens read-back was one extra
     // scan + job-scheduling floor per build, pure Amdahl overhead at the
     // low-core scaling level. Long-only observed aggregates; avgdl is
@@ -151,7 +160,7 @@ object IndexBuilder {
     Stage.run(s"$dir/doclens", "doclens", fp) {
       val obs = org.apache.spark.sql.Observation()
       val dl = spark.read.parquet(s"$dir/termfreq")
-        .groupBy($"doc_id").agg(max($"dl").as("dl"))
+        .select($"doc_id", $"dl")
         .observe(obs, count(lit(1)).cast("long").as("n"), sum($"dl").as("toks"))
       dl.write.mode("overwrite").parquet(s"$dir/doclens")
       val st = obs.get
@@ -193,18 +202,8 @@ object IndexBuilder {
     // north rule's resumable-mid-merge contract; at 10¹²-file scale each
     // bucket is a restartable unit of the global sort-merge).
     def buildPostingsInto(outDir: String, bucket: Int, nBuckets: Int): Long = {
-      // termfreq rows carry dl inline — no tf⋈dl join before the merge
-      val entries = spark.read.parquet(s"$dir/termfreq")
-        .select($"term", ($"doc_id" / lit(p.docsPerShard)).cast("int").as("shard"),
-          $"doc_id".as("docId"), $"tf", $"dl")
-        .filter(pmod($"shard", lit(nBuckets)) === bucket)
-        .as[PostingEntry]
-      val agg = new PostingAgg(p.bm25, avgdl)
-      val lists = entries
-        .groupByKey(e => (e.term, e.shard))
-        .agg(agg.toColumn)
-        .map(_._2)
-      writePostings(lists.toDF(), outDir, p, math.max(p.numParts / nBuckets, 1))
+      buildPostingsFrom(spark, s"$dir/termfreq", outDir, p, avgdl,
+        math.max(p.numParts / nBuckets, 1), bucket, nBuckets)
       -1L
     }
     // Postings layout guard (a mergeBuckets or termBuckets change alters
@@ -255,6 +254,71 @@ object IndexBuilder {
     }
 
     new InvertedIndex(spark, dir)
+  }
+
+  /** Compressed posting lists from a v6 per-doc termfreq artifact, in
+    * ONE shuffle of grouped array rows (guide §2.3/§2.4): every doc
+    * belongs to exactly one doc-shard, so hash-repartitioning the
+    * ~#docs (doc_id, terms[], tfs[], dl) rows by shard and sorting each
+    * partition by (shard, doc_id) delivers whole shards as contiguous,
+    * docId-ascending runs — each task accumulates its shard's per-term
+    * posting arrays in memory (≤ docsPerShard docs at a time) and
+    * streams out encoded lists already in the (shard, term) order the
+    * flat layout wants. The former shape shuffled one Kryo-buffered row
+    * per POSTING into a (term, shard) typed aggregation and then
+    * re-shuffled the encoded lists into the shard layout — two
+    * shuffles, ~#postings rows, and Kryo buffer serialization on the
+    * worst-scaling stage of the build.
+    *
+    * Determinism: sort (shard, doc_id) is total (doc_id unique), terms
+    * flush in sorted order, docIds per (term, shard) arrive ascending —
+    * byte-identical lists to the old k-way merge.
+    */
+  def buildPostingsFrom(spark: SparkSession, tfDir: String, outDir: String,
+      p: Params, avgdl: Double, parts: Int, bucket: Int = 0,
+      nBuckets: Int = 1): Unit = {
+    import spark.implicits._
+    val src = spark.read.parquet(tfDir)
+      .withColumn("shard", ($"doc_id" / lit(p.docsPerShard)).cast("int"))
+    val filtered =
+      if (nBuckets > 1) src.filter(pmod($"shard", lit(nBuckets)) === bucket) else src
+    val bm = p.bm25
+    val lists = filtered
+      .repartition(parts, $"shard")
+      .sortWithinPartitions($"shard", $"doc_id")
+      .select($"shard", $"doc_id", $"terms", $"tfs", $"dl")
+      .as[(Int, Long, Array[String], Array[Long], Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer[PostingList]()
+        val acc = new java.util.HashMap[String, ShardPostings]()
+        var curShard = Int.MinValue
+        def flush(): Unit = if (!acc.isEmpty) {
+          val terms = acc.keySet().toArray(new Array[String](acc.size()))
+          java.util.Arrays.sort(terms, java.util.Comparator.naturalOrder[String]())
+          var i = 0
+          while (i < terms.length) {
+            val b = acc.get(terms(i))
+            out += PostingFormat.encode(terms(i), curShard,
+              b.ids(), b.tfs(), b.dls(), bm, avgdl)
+            i += 1
+          }
+          acc.clear()
+        }
+        it.foreach { case (shard, docId, terms, tfs, dl) =>
+          if (shard != curShard) { flush(); curShard = shard }
+          var i = 0
+          while (i < terms.length) {
+            var b = acc.get(terms(i))
+            if (b == null) { b = new ShardPostings; acc.put(terms(i), b) }
+            b.add(docId, tfs(i), dl)
+            i += 1
+          }
+        }
+        flush()
+        out.iterator
+      }
+    if (p.termBuckets > 0) writePostings(lists.toDF(), outDir, p, parts)
+    else lists.toDF().write.mode("overwrite").parquet(outDir)
   }
 
   /** Posting-list write: flat part files sorted by (shard, term) by
@@ -398,7 +462,7 @@ object IndexBuilder {
       // same rationale as the base build's doclens stage)
       val obs = org.apache.spark.sql.Observation()
       val dl = spark.read.parquet(s"$eDir/termfreq")
-        .groupBy($"doc_id").agg(max($"dl").as("dl"))
+        .select($"doc_id", $"dl")
         .observe(obs, count(lit(1)).cast("long").as("n"), sum($"dl").as("toks"),
           min($"doc_id").as("minId"), max($"doc_id").as("maxId"))
       dl.write.mode("overwrite").parquet(s"$eDir/doclens")
@@ -427,15 +491,8 @@ object IndexBuilder {
     // (new ids ⇒ new shard range; existing lists untouched; same typed
     // sort-merge aggregation as the base build)
     Stage.run(s"$eDir/postings", s"postings/e$epoch", fp) {
-      val agg = new PostingAgg(p.bm25, epochAvgdl)
-      val lists = spark.read.parquet(s"$eDir/termfreq")
-        .select($"term", ($"doc_id" / lit(p.docsPerShard)).cast("int").as("shard"),
-          $"doc_id".as("docId"), $"tf", $"dl")
-        .as[PostingEntry]
-        .groupByKey(e => (e.term, e.shard))
-        .agg(agg.toColumn)
-        .map(_._2)
-      writePostings(lists.toDF(), s"$eDir/postings", p, math.max(p.numParts / 4, 1))
+      buildPostingsFrom(spark, s"$eDir/termfreq", s"$eDir/postings", p,
+        epochAvgdl, math.max(p.numParts / 4, 1))
       -1L
     }
 
@@ -645,24 +702,55 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
     val p = bm25
     val ad = avgdl
     val lh = lensHandle
+    // ONE broadcast of the whole query program (term sets + the inverted
+    // term→sets map + idf): the former closure-captured setList/idf were
+    // re-deserialized per task (~1 MB × shuffle partitions); the
+    // inverted map lets each shard task touch ONLY the sets with ≥1
+    // term present in that shard (a batch dominated by single-shard
+    // rare terms otherwise iterates every set in every shard).
+    val bProg = spark.sparkContext.broadcast(
+      (setList.map(_._2.toArray).toArray, invertSets(setList), idf))
     val hits = postingsFor(allTerms)
       .groupByKey(_.shard)
       .flatMapGroups { (shard, it) =>
         // decode each posting list ONCE; all sets share the decoded
-        // arrays via O(1) cursors — decode bandwidth no longer scales
-        // with batch size. Lists group into ARRAYS per term: after an
-        // epoch append whose base size is not a multiple of
+        // arrays via O(1) reset cursors — decode bandwidth no longer
+        // scales with batch size. Lists group into ARRAYS per term:
+        // after an epoch append whose base size is not a multiple of
         // docsPerShard, the boundary doc-shard holds TWO lists for the
         // same (term, shard) — one base, one epoch — and a .toMap here
         // would silently drop one, never scoring its docs.
         val byTerm: Map[String, Array[DecodedList]] = decodeByTerm(it, p, ad, lh, shard)
-        setList.iterator.flatMap { case (sid, ts) =>
-          val cursors = ts.iterator
-            .flatMap(t => byTerm.getOrElse(t, Array.empty[DecodedList]))
-            .map(dl => new DecodedCursor(dl, idf(dl.term))).toSeq
-          if (cursors.isEmpty) Iterator.empty
-          else Wand.topK(cursors, k).iterator.map(h => (sid, h.docId, h.score))
+        val (sTerms, sOf, idfB) = bProg.value
+        // one cursor per decoded list per task, reset per query
+        val pool = new java.util.HashMap[String, Array[DecodedCursor]]()
+        byTerm.foreach { case (t, dls) =>
+          pool.put(t, dls.map(d => new DecodedCursor(d, idfB(t))))
         }
+        val present = new java.util.BitSet(sTerms.length)
+        byTerm.keysIterator.foreach { t =>
+          sOf.get(t).foreach { a =>
+            var i = 0; while (i < a.length) { present.set(a(i)); i += 1 }
+          }
+        }
+        val ws = new Wand.Workspace
+        val cbuf = new scala.collection.mutable.ArrayBuffer[Wand.Cursor]()
+        Iterator.iterate(present.nextSetBit(0))(s => present.nextSetBit(s + 1))
+          .takeWhile(_ >= 0)
+          .flatMap { sid =>
+            cbuf.clear()
+            val ts = sTerms(sid)
+            var i = 0
+            while (i < ts.length) {
+              val cs = pool.get(ts(i))
+              if (cs != null) {
+                var j = 0
+                while (j < cs.length) { cs(j).reset(); cbuf += cs(j); j += 1 }
+              }
+              i += 1
+            }
+            Wand.topK(cbuf, k, ws).iterator.map(h => (sid, h.docId, h.score))
+          }
       }
       .toDF("set_id", "doc_id", "score")
     // per-set global top-k via the map-side-combining TopKAgg heap
@@ -685,6 +773,17 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
     val qMap = qNorm.map { case (qid, ts) => (qid, setOf(ts)) }.toDF("qid", "set_id")
     setTop.join(broadcast(qMap), "set_id")
       .select($"qid", $"doc_id", $"score", $"rank")
+  }
+
+  /** term → ids of the query sets containing it (the batch paths'
+    * per-shard present-set inversion).
+    */
+  private def invertSets(setList: Seq[(Int, Seq[String])]): Map[String, Array[Int]] = {
+    val m = scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    setList.foreach { case (sid, ts) =>
+      ts.foreach(t => m.getOrElseUpdate(t, new scala.collection.mutable.ArrayBuffer[Int]()) += sid)
+    }
+    m.iterator.map { case (t, b) => t -> b.toArray }.toMap
   }
 
   /** Decode one shard's posting lists once, grouped by term (one ARRAY
@@ -714,18 +813,46 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
     val p = bm25
     val ad = avgdl
     val lh = lensHandle
+    // same decode-once + broadcast-program + present-set shape as
+    // wandTopKBatch; set ids need not be contiguous here (public API),
+    // so the inversion maps terms to POSITIONS in the sets array
+    val posList = sets.zipWithIndex.map { case ((_, ts, _), pos) => (pos, ts) }
+    val bProg = spark.sparkContext.broadcast(
+      (sets.toArray, invertSets(posList), idf))
     postingsFor(allTerms)
       .groupByKey(_.shard)
       .flatMapGroups { (shard, it) =>
         val byTerm = decodeByTerm(it, p, ad, lh, shard)
-        sets.iterator.flatMap { case (sid, ts, slack) =>
-          val cursors = ts.iterator
-            .flatMap(t => byTerm.getOrElse(t, Array.empty[DecodedList]))
-            .map(dl => new DecodedCursor(dl, idf(dl.term))).toSeq
-          if (cursors.isEmpty) Iterator.empty
-          else Wand.candidatesWithSlack(cursors, k, slack).iterator
-            .map(h => (sid, h.docId, h.score))
+        val (setsArr, posOf, idfB) = bProg.value
+        val pool = new java.util.HashMap[String, Array[DecodedCursor]]()
+        byTerm.foreach { case (t, dls) =>
+          pool.put(t, dls.map(d => new DecodedCursor(d, idfB(t))))
         }
+        val present = new java.util.BitSet(setsArr.length)
+        byTerm.keysIterator.foreach { t =>
+          posOf.get(t).foreach { a =>
+            var i = 0; while (i < a.length) { present.set(a(i)); i += 1 }
+          }
+        }
+        val ws = new Wand.Workspace
+        val cbuf = new scala.collection.mutable.ArrayBuffer[Wand.Cursor]()
+        Iterator.iterate(present.nextSetBit(0))(s => present.nextSetBit(s + 1))
+          .takeWhile(_ >= 0)
+          .flatMap { pos =>
+            val (sid, ts, slack) = setsArr(pos)
+            cbuf.clear()
+            var i = 0
+            while (i < ts.length) {
+              val cs = pool.get(ts(i))
+              if (cs != null) {
+                var j = 0
+                while (j < cs.length) { cs(j).reset(); cbuf += cs(j); j += 1 }
+              }
+              i += 1
+            }
+            Wand.candidatesWithSlack(cbuf, k, slack, ws).iterator
+              .map(h => (sid, h.docId, h.score))
+          }
       }
       .toDF("set_id", "doc_id", "bm25")
   }

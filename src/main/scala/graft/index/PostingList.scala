@@ -213,14 +213,20 @@ object DecodedList {
   }
 }
 
-/** Zero-decode cursor over a shared DecodedList (one per query per term;
-  * construction is O(1)).
+/** Zero-decode cursor over a shared DecodedList. O(1) construction AND
+  * O(1) [[reset]] — the batch path builds one cursor per (term, shard)
+  * list per task and resets it before every query instead of allocating
+  * ~sets × terms cursors per shard (measured GC pressure on the
+  * 32k-query batch).
   */
 final class DecodedCursor(dl: DecodedList, val idf: Double)
     extends graft.search.Wand.Cursor {
   var ord: Int = 0
   private val n = dl.docIds.length
   private var pos = 0
+
+  /** Rewind for reuse by the next query (batch path). */
+  def reset(): Unit = { pos = 0; ord = 0 }
 
   val maxScore: Double = idf * dl.maxPartial
   def exhausted: Boolean = pos >= n

@@ -56,6 +56,40 @@ object LambdaPipeline {
     (slot, sign)
   }
 
+  /** Synthetic λτ of ONE document's term multiset over the frozen
+    * vocab/CSR — the per-row form of the LambdaAgg.finish computation
+    * (bit-identical: same in-vocab pairs sorted by termIdx, same tf/vdl
+    * weight division, same τ selection and sparse λ formula). None when
+    * the doc has no in-vocab term (such docs have no λ row).
+    */
+  def docLambda(vocab: Map[String, Int], csr: Csr, nNodes: Int, mode: TauMode,
+      terms: Array[String], tfs: Array[Long]): Option[Double] = {
+    val tis = new Array[Int](terms.length)
+    val tfv = new Array[Long](terms.length)
+    var m = 0
+    var vdl = 0L
+    var i = 0
+    while (i < terms.length) {
+      val ti = vocab.getOrElse(terms(i), -1)
+      if (ti >= 0) { tis(m) = ti; tfv(m) = tfs(i); vdl += tfs(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) return None
+    val order = Array.range(0, m).sortBy(tis(_))
+    val support = new Array[Int](m)
+    val xs = new Array[Double](m)
+    val denom = vdl.toDouble
+    i = 0
+    while (i < m) {
+      val j = order(i)
+      support(i) = tis(j)
+      xs(i) = tfv(j).toDouble / denom
+      i += 1
+    }
+    val tau = LambdaAgg.tauOverSparse(xs, nNodes, mode)
+    Some(TauMode.syntheticLambdaSparse(support, xs, csr, tau))
+  }
+
   def build(spark: SparkSession, index: InvertedIndex, dir: String,
       cfg: Config = Config()): LambdaIndex = {
     import spark.implicits._
@@ -113,29 +147,46 @@ object LambdaPipeline {
     val bVocab = spark.sparkContext.broadcast(vocab)
     val nNodes = vocab.size
 
+    // The v6 termfreq artifact is one row per doc (doc_id, terms[],
+    // tfs[], dl): every per-doc derivation below (docterms weights, the
+    // hashed clustering vectors, the λ aggregation itself) runs as a
+    // SHUFFLE-FREE mapPartitions over it with the broadcast vocab —
+    // the former shape paid a vocab join + a vdl groupBy + a second
+    // join for docterms, plus one groupByKey(docId) shuffle of ~all
+    // in-vocab postings in EACH of the clusters and lambdas stages.
+    // ALL epochs' termfreq (base + appended snapshots): λ must cover
+    // every doc the index serves, or appended docs silently blend with
+    // λ=0.
+    def perDocTf = spark.read.parquet(index.termFreqPaths: _*)
+      .select($"doc_id", $"terms", $"tfs")
+      .as[(Long, Array[String], Array[Long])]
+
     // ---- doc term vectors over the pruned vocab ------------------------
     Stage.run(s"$dir/docterms", "docterms", fp) {
-      // reuse the index's termfreq artifact — the corpus is tokenized
-      // exactly once across both pipelines.
       // weight = tf / (doc's total in-vocab mass): the doc vector is a
       // probability mass over term nodes, so every coordinate ≤ 1 and the
-      // per-doc τ stays in the (0,1] domain where λ ∈ [0,1] holds
-      // tf and vdl stay integral until the final division: a long sum is
-      // exact regardless of shuffle order, so weights (and hence λ) are
-      // bit-identical across rebuilds
-      val vocabDf = spark.read.parquet(s"$dir/vocab")
-      // ALL epochs' termfreq (base + appended snapshots): λ must cover
-      // every doc the index serves, or appended docs silently blend
-      // with λ=0
-      val tf = spark.read.parquet(index.termFreqPaths: _*)
-        .join(broadcast(vocabDf), "term")
-        .select($"doc_id".as("docId"), $"termIdx", $"tf")
-      val vdl = tf.groupBy($"docId").agg(sum($"tf").as("vdl"))
-      tf.join(vdl, "docId")
-        .select($"docId", $"termIdx", $"tf",
-          ($"tf".cast("double") / $"vdl".cast("double")).as("weight"))
+      // per-doc τ stays in the (0,1] domain where λ ∈ [0,1] holds.
+      // tf and vdl stay integral until the final division: the long sum
+      // is exact, so weights (and hence λ) are bit-identical across
+      // rebuilds. Docs with NO in-vocab term emit no rows (the former
+      // inner joins dropped them the same way).
+      perDocTf.mapPartitions { it =>
+        val v = bVocab.value
+        it.flatMap { case (docId, terms, tfs) =>
+          var vdl = 0L
+          var i = 0
+          while (i < terms.length) {
+            if (v.contains(terms(i))) vdl += tfs(i)
+            i += 1
+          }
+          val denom = vdl.toDouble
+          terms.indices.iterator.flatMap { j =>
+            v.get(terms(j)).map(ti => (docId, ti, tfs(j), tfs(j).toDouble / denom))
+          }
+        }
+      }.toDF("docId", "termIdx", "tf", "weight")
         .write.mode("overwrite").parquet(s"$dir/docterms")
-      spark.read.parquet(s"$dir/docterms").count()
+      -1L
     }
     def docterms = spark.read.parquet(s"$dir/docterms")
 
@@ -144,20 +195,31 @@ object LambdaPipeline {
       val hd = cfg.hashDim
       // accumulate hashed features as LONG tf counts (exact in any
       // iteration order), then scale by the doc's in-vocab mass — keeps
-      // the whole pipeline bit-deterministic across rebuilds
-      val docVecs = docterms.select($"docId", $"termIdx", $"tf").as[(Long, Int, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (id, it) =>
+      // the whole pipeline bit-deterministic across rebuilds. Docs with
+      // no in-vocab term are skipped (identical coverage to the former
+      // docterms-derived grouping).
+      val docVecs = perDocTf.mapPartitions { it =>
+        val v = bVocab.value
+        it.flatMap { case (id, terms, tfs) =>
           val acc = new Array[Long](hd)
           var total = 0L
-          it.foreach { case (_, ti, tfv) =>
-            val (slot, sign) = hashFeature(ti, hd)
-            acc(slot) += (if (sign > 0) tfv else -tfv)
-            total += tfv
+          var i = 0
+          while (i < terms.length) {
+            val ti = v.getOrElse(terms(i), -1)
+            if (ti >= 0) {
+              val (slot, sign) = hashFeature(ti, hd)
+              acc(slot) += (if (sign > 0) tfs(i) else -tfs(i))
+              total += tfs(i)
+            }
+            i += 1
           }
-          val denom = math.max(total, 1L).toDouble
-          (id, acc.map(_.toDouble / denom))
+          if (total == 0L) None
+          else {
+            val denom = total.toDouble
+            Some((id, acc.map(_.toDouble / denom)))
+          }
         }
+      }
       val sample = SeededKMeans.sampleRows(docVecs, cfg.sampleSize, cfg.seed)
       val x = SeededKMeans.optimalK(sample, cfg.seed, cfg.maxClusters)
       val model = SeededKMeans.fitLocal(sample, x, cfg.seed)
@@ -193,18 +255,28 @@ object LambdaPipeline {
       csr.nnz.toLong
     }
 
-    // ---- per-doc λ (typed aggregation) ---------------------------------
+    // ---- per-doc λ -----------------------------------------------------
+    // the doc's whole term vector is one v6 termfreq row, so the λτ
+    // aggregation runs per row in a mapPartitions — no groupByKey
+    // shuffle of the in-vocab postings, no Kryo λ-buffers. Values are
+    // bit-identical to the typed LambdaAgg path (same in-vocab pairs
+    // sorted by termIdx, same tf/vdl weight division, same
+    // tauOverSparse/syntheticLambdaSparse calls — LambdaAgg remains the
+    // SQL-UDAF surface and the streaming ingest building block).
     Stage.run(s"$dir/lambdas", "lambdas", fp) {
       val li = new LambdaIndex(spark, dir)
       val bCsr = spark.sparkContext.broadcast(li.csr)
-      val agg = new LambdaAgg(bCsr, nNodes, cfg.tau)
-      docterms.select($"docId", $"termIdx", $"weight").as[(Long, Int, Double)]
-        .map { case (id, ti, w) => DocTermEntry(id, ti, w) }
-        .groupByKey(_.docId)
-        .agg(agg.toColumn)
-        .toDF("doc_id", "lambda")
+      val mode = cfg.tau
+      val nn = nNodes
+      perDocTf.mapPartitions { it =>
+        val v = bVocab.value
+        val csr = bCsr.value
+        it.flatMap { case (id, terms, tfs) =>
+          LambdaPipeline.docLambda(v, csr, nn, mode, terms, tfs).map(l => (id, l))
+        }
+      }.toDF("doc_id", "lambda")
         .write.mode("overwrite").parquet(s"$dir/lambdas")
-      spark.read.parquet(s"$dir/lambdas").count()
+      -1L
     }
     // (generation reset — props rewrite + stale lambdas_e* cleanup — ran
     // BEFORE the first stage commit; see the block above the vocab stage)
@@ -253,7 +325,7 @@ object LambdaPipeline {
     if (covered == total) return li
     val nNodes = li.graphProps("nNodes").toInt
     val bCsr = li.csrBroadcast
-    val vocabDf = spark.read.parquet(s"$dir/vocab")
+    val bVoc = li.vocabBroadcast
     val paths = index.termFreqPaths // base + e1..e{total-1}, in epoch order
     val newDirs = scala.collection.mutable.Buffer[String]()
     for (e <- covered until total) { // epoch index e covers termFreqPaths(e)
@@ -261,25 +333,25 @@ object LambdaPipeline {
       val fpE = Stage.fingerprintOf("lambda-epoch", props("baseFp"),
         props("cfgFp"), e.toString, index.meta(s"fp_e$e"))
       Stage.run(eDir, s"lambdas_e$e", fpE) {
-        // same docterms recipe as build, restricted to this epoch's
+        // same per-doc λ recipe as build, restricted to this epoch's
         // termfreq (appended docs live wholly inside their epoch, so
         // the per-doc in-vocab mass normalizer is epoch-local by
-        // construction)
-        val tf = spark.read.parquet(paths(e))
-          .join(broadcast(vocabDf), "term")
-          .select($"doc_id".as("docId"), $"termIdx", $"tf")
-        val vdl = tf.groupBy($"docId").agg(sum($"tf").as("vdl"))
-        val agg = new LambdaAgg(bCsr, nNodes, li.tauMode)
-        tf.join(vdl, "docId")
-          .select($"docId", $"termIdx",
-            ($"tf".cast("double") / $"vdl".cast("double")).as("weight"))
-          .as[(Long, Int, Double)]
-          .map { case (id, ti, w) => DocTermEntry(id, ti, w) }
-          .groupByKey(_.docId)
-          .agg(agg.toColumn)
+        // construction) — one shuffle-free mapPartitions pass
+        val mode = li.tauMode
+        val nn = nNodes
+        spark.read.parquet(paths(e))
+          .select($"doc_id", $"terms", $"tfs")
+          .as[(Long, Array[String], Array[Long])]
+          .mapPartitions { it =>
+            val v = bVoc.value
+            val csr = bCsr.value
+            it.flatMap { case (id, terms, tfs) =>
+              LambdaPipeline.docLambda(v, csr, nn, mode, terms, tfs).map(l => (id, l))
+            }
+          }
           .toDF("doc_id", "lambda")
           .write.mode("overwrite").parquet(eDir)
-        spark.read.parquet(eDir).count()
+        -1L
       }
       newDirs += s"lambdas_e$e"
     }
@@ -324,6 +396,10 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
     */
   lazy val csrBroadcast: org.apache.spark.broadcast.Broadcast[Csr] =
     spark.sparkContext.broadcast(csr)
+
+  /** One broadcast of the (frozen) vocab per handle — same rationale. */
+  lazy val vocabBroadcast: org.apache.spark.broadcast.Broadcast[Map[String, Int]] =
+    spark.sparkContext.broadcast(vocab)
 
   /** Per-doc λ table: the base pipeline output plus any frozen-graph
     * incremental epochs (LambdaPipeline.appendEpochs). Explicit

@@ -2,14 +2,22 @@ package graft.search
 
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import scala.collection.mutable.ArrayBuffer
 
 /** One (docId, score) candidate row. */
 case class ScoredDoc(docId: Long, score: Double)
 
+/** Primitive-array top-k buffer: parallel Array[Long]/Array[Double]
+  * instead of an ArrayBuffer[ScoredDoc] — the buffer crosses the
+  * shuffle through a PRODUCT encoder (compact UnsafeArrayData of
+  * primitives) instead of Kryo-serializing a boxed element per hit,
+  * which was the measured per-row cost of the batch rank shuffle
+  * (~10⁶ buffers × ~10 boxed hits per bench batch).
+  */
+case class TopKBuf(var ids: Array[Long], var scores: Array[Double], var n: Int)
+
 /** Grouped top-k with MAP-SIDE partial heaps: each task's aggregation
   * buffer keeps at most 2k candidates per group (trimmed to the k best
-  * by score DESC, docId ASC whenever it doubles), so the shuffle
+  * by score DESC, docId ASC whenever it fills), so the shuffle
   * carries ≤ tasks × groups × k rows instead of every scored row.
   *
   * Why not Window + row_number: Spark plans a per-group rank as a FULL
@@ -19,27 +27,67 @@ case class ScoredDoc(docId: Long, score: Double)
   * this Aggregator is the per-group analog.
   */
 final class TopKAgg(k: Int)
-    extends Aggregator[ScoredDoc, ArrayBuffer[ScoredDoc], Array[ScoredDoc]] {
+    extends Aggregator[ScoredDoc, TopKBuf, Array[ScoredDoc]] {
 
-  private def better(a: ScoredDoc, b: ScoredDoc): Boolean =
-    a.score > b.score || (a.score == b.score && a.docId < b.docId)
+  private def cap = 2 * k
 
-  private def trim(b: ArrayBuffer[ScoredDoc]): ArrayBuffer[ScoredDoc] =
-    if (b.length <= 2 * k) b
-    else {
-      val kept = b.sortWith(better).take(k)
-      b.clear()
-      b ++= kept
+  /** Keep the k best (score DESC, docId ASC) of buf[0, n) in place;
+    * returns the new length. Exactness: every dropped hit is worse than
+    * k kept hits of the same buffer, so it can never enter the final
+    * top-k.
+    */
+  private def trim(b: TopKBuf): TopKBuf = {
+    val n = b.n
+    val order = new Array[Integer](n)
+    var i = 0
+    while (i < n) { order(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
+      def compare(x: Integer, y: Integer): Int = {
+        val c = java.lang.Double.compare(b.scores(y), b.scores(x))
+        if (c != 0) c else java.lang.Long.compare(b.ids(x), b.ids(y))
+      }
+    })
+    val m = math.min(k, n)
+    val ids = new Array[Long](cap)
+    val scores = new Array[Double](cap)
+    i = 0
+    while (i < m) {
+      ids(i) = b.ids(order(i)); scores(i) = b.scores(order(i)); i += 1
     }
+    b.ids = ids; b.scores = scores; b.n = m
+    b
+  }
 
-  def zero: ArrayBuffer[ScoredDoc] = new ArrayBuffer[ScoredDoc](k)
-  def reduce(b: ArrayBuffer[ScoredDoc], a: ScoredDoc): ArrayBuffer[ScoredDoc] =
-    trim(b += a)
-  def merge(a: ArrayBuffer[ScoredDoc], b: ArrayBuffer[ScoredDoc]): ArrayBuffer[ScoredDoc] =
-    trim(a ++= b)
-  def finish(b: ArrayBuffer[ScoredDoc]): Array[ScoredDoc] =
-    b.sortWith(better).take(k).toArray
+  private def append(b: TopKBuf, id: Long, score: Double): TopKBuf = {
+    if (b.n == b.ids.length) {
+      if (b.ids.length < cap) { // grow toward the 2k cap
+        val grow = math.min(math.max(b.ids.length * 2, 8), cap)
+        b.ids = java.util.Arrays.copyOf(b.ids, grow)
+        b.scores = java.util.Arrays.copyOf(b.scores, grow)
+      } else trim(b) // at cap: keep the k best (n becomes k < cap)
+    }
+    b.ids(b.n) = id; b.scores(b.n) = score; b.n += 1
+    b
+  }
 
-  def bufferEncoder: Encoder[ArrayBuffer[ScoredDoc]] = Encoders.kryo[ArrayBuffer[ScoredDoc]]
+  def zero: TopKBuf = new TopKBuf(new Array[Long](8), new Array[Double](8), 0)
+
+  def reduce(b: TopKBuf, a: ScoredDoc): TopKBuf = append(b, a.docId, a.score)
+
+  def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    var i = 0
+    while (i < b.n) { append(a, b.ids(i), b.scores(i)); i += 1 }
+    a
+  }
+
+  def finish(b: TopKBuf): Array[ScoredDoc] = {
+    trim(b)
+    val out = new Array[ScoredDoc](b.n)
+    var i = 0
+    while (i < b.n) { out(i) = ScoredDoc(b.ids(i), b.scores(i)); i += 1 }
+    out
+  }
+
+  def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   def outputEncoder: Encoder[Array[ScoredDoc]] = Encoders.kryo[Array[ScoredDoc]]
 }

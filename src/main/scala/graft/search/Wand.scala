@@ -52,8 +52,33 @@ object Wand {
     if (c != 0) -c else java.lang.Long.compare(a.docId, b.docId)
   }
 
-  def topK(cursors0: Seq[Cursor], k: Int): Array[Hit] =
-    run(cursors0, k, 0.0, band = false, buf = null)
+  /** Reusable per-task scratch for the batch paths: one heap + scratch
+    * arrays shared by every query a task evaluates, instead of fresh
+    * allocations per (query, shard) — the 32k-query batch runs ~10⁶
+    * WAND evaluations per rep, where per-call allocation was measured
+    * GC pressure.
+    */
+  final class Workspace {
+    private[search] val heap =
+      new scala.collection.mutable.PriorityQueue[Hit]()(worstFirst)
+    private[search] var cursors = new Array[Cursor](16)
+    private[search] var contrib = new Array[Double](16)
+    private[search] var used = new Array[Boolean](16)
+    private[search] val band = new scala.collection.mutable.ArrayBuffer[Hit]()
+    private[search] def ensure(n: Int): Unit = if (contrib.length < n) {
+      val cap = java.lang.Integer.highestOneBit(math.max(n - 1, 8)) << 1
+      cursors = new Array[Cursor](cap)
+      contrib = new Array[Double](cap)
+      used = new Array[Boolean](cap)
+    }
+  }
+
+  def topK(cursors0: scala.collection.Seq[Cursor], k: Int): Array[Hit] =
+    run(cursors0, k, 0.0, band = false, buf = null, ws = null)
+
+  /** Batch-path variant with caller-owned scratch. */
+  def topK(cursors0: scala.collection.Seq[Cursor], k: Int, ws: Workspace): Array[Hit] =
+    run(cursors0, k, 0.0, band = false, buf = null, ws = ws)
 
   private def drain(heap: scala.collection.mutable.PriorityQueue[Hit]): Array[Hit] =
     heap.dequeueAll.reverse.toArray // worst-first dequeue -> reverse = best-first
@@ -79,10 +104,17 @@ object Wand {
     * the k-th best). Scores are summed in cursor creation order -
     * bit-identical to [[topK]]'s.
     */
-  def candidatesWithSlack(cursors0: Seq[Cursor], k: Int, slack: Double): Array[Hit] = {
+  def candidatesWithSlack(cursors0: scala.collection.Seq[Cursor], k: Int, slack: Double): Array[Hit] =
+    candidatesWithSlack(cursors0, k, slack, null)
+
+  /** Batch-path variant with caller-owned scratch (band buffer included). */
+  def candidatesWithSlack(cursors0: scala.collection.Seq[Cursor], k: Int, slack: Double,
+      ws: Workspace): Array[Hit] = {
     require(slack >= 0.0 && !slack.isNaN, s"bad slack $slack")
-    val buf = new scala.collection.mutable.ArrayBuffer[Hit]()
-    val top = run(cursors0, k, slack, band = true, buf = buf)
+    val buf =
+      if (ws == null) new scala.collection.mutable.ArrayBuffer[Hit]()
+      else { ws.band.clear(); ws.band }
+    val top = run(cursors0, k, slack, band = true, buf = buf, ws = ws)
     val th = if (top.length < k) Double.NegativeInfinity else top(k - 1).score
     buf.filter(h => h.score >= th - slack).toArray
   }
@@ -107,20 +139,24 @@ object Wand {
     * allocated once per call - the loop itself allocates only the Hit
     * per fully-evaluated doc.
     */
-  private def run(cursors0: Seq[Cursor], k: Int, slack: Double, band: Boolean,
-      buf: scala.collection.mutable.ArrayBuffer[Hit]): Array[Hit] = {
-    val heap = new scala.collection.mutable.PriorityQueue[Hit]()(worstFirst)
+  private def run(cursors0: scala.collection.Seq[Cursor], k: Int, slack: Double, band: Boolean,
+      buf: scala.collection.mutable.ArrayBuffer[Hit], ws: Workspace): Array[Hit] = {
+    val heap =
+      if (ws == null) new scala.collection.mutable.PriorityQueue[Hit]()(worstFirst)
+      else { ws.heap.clear(); ws.heap }
     val nOrd = cursors0.size
-    val cursors = new Array[Cursor](nOrd)
+    if (ws != null) ws.ensure(nOrd)
+    val cursors = if (ws == null) new Array[Cursor](nOrd) else ws.cursors
     var n = 0
     var oi = 0
     cursors0.foreach { c =>
       c.ord = oi; oi += 1
       if (!c.exhausted) { cursors(n) = c; n += 1 }
     }
-    // per-call scratch (reset in the summation loop, never reallocated)
-    val contrib = new Array[Double](nOrd)
-    val used = new Array[Boolean](nOrd)
+    // scratch (used[] flags are cleared in the summation loop, so a
+    // reused workspace array is all-false between calls by invariant)
+    val contrib = if (ws == null) new Array[Double](nOrd) else ws.contrib
+    val used = if (ws == null) new Array[Boolean](nOrd) else ws.used
 
     def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head.score
 

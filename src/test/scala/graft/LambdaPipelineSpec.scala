@@ -323,7 +323,7 @@ class LambdaPipelineSpec extends AnyFunSuite {
     // appended docs: λ ∈ [0,1] and exact vs the INDEPENDENT driver-side
     // sparse evaluator (queryLambda = same formula over the same frozen
     // graph, computed without the Aggregator)
-    val tfq = spark.read.parquet(appended.termFreqPaths.last)
+    val tfq = IndexBuilder.explodeTermFreq(spark.read.parquet(appended.termFreqPaths.last))
       .select($"doc_id", $"term", $"tf").as[(Long, String, Long)].collect()
       .groupBy(_._1)
     for (id <- Seq(300L, 350L, 419L)) {

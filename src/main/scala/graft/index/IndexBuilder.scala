@@ -612,7 +612,9 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
       if (java.nio.file.Files.exists(lp)) java.nio.file.Files.readString(lp) else r
     }
     LensHandle(roots, docsPerShard,
-      java.lang.Long.toHexString(graft.util.Hashing.hash64(0x6c656e73L, lineages: _*)))
+      java.lang.Long.toHexString(graft.util.Hashing.hash64(0x6c656e73L, lineages: _*)),
+      Some(new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)))
   }
 
   def termStats: DataFrame = spark.read.parquet(s"$dir/termstats")
@@ -855,6 +857,68 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
           }
       }
       .toDF("set_id", "doc_id", "bm25")
+  }
+
+  /** Batched BLENDED top-k bands: for every canonical
+    * (set_id, terms, λq, ubNorm) the per-doc-shard blended-WAND kernel
+    * ([[graft.search.Wand.blendedTopK]]) runs over decode-once lists
+    * with the shard's λ window served in-task from the [[LamStore]]
+    * side array — no candidate-band materialization, no λ join.
+    * Returns (set_id, doc_id, score) with ≤ k rows per (set, shard) and
+    * EXACT blended scores; the union over shards contains the global
+    * blended top-k of every set (each shard's k-th best blended score
+    * ≤ the global k-th best), so a downstream per-set top-k merge is
+    * exact — the wandTopKBatch argument, applied to the blend.
+    */
+  def blendedBatch(sets: Seq[(Int, Seq[String], Double, Double)], k: Int,
+      alpha: Double, lamHandle: LamHandle): DataFrame = {
+    val allTerms = sets.flatMap(_._2).distinct
+    val idf = idfFor(allTerms)
+    val p = bm25
+    val ad = avgdl
+    val lh = lensHandle
+    val posList = sets.zipWithIndex.map { case ((_, ts, _, _), pos) => (pos, ts) }
+    val bProg = spark.sparkContext.broadcast(
+      (sets.toArray, invertSets(posList), idf))
+    postingsFor(allTerms)
+      .groupByKey(_.shard)
+      .flatMapGroups { (shard, it) =>
+        val byTerm = decodeByTerm(it, p, ad, lh, shard)
+        val (setsArr, posOf, idfB) = bProg.value
+        val pool = new java.util.HashMap[String, Array[DecodedCursor]]()
+        byTerm.foreach { case (t, dls) =>
+          pool.put(t, dls.map(d => new DecodedCursor(d, idfB(t))))
+        }
+        val present = new java.util.BitSet(setsArr.length)
+        byTerm.keysIterator.foreach { t =>
+          posOf.get(t).foreach { a =>
+            var i = 0; while (i < a.length) { present.set(a(i)); i += 1 }
+          }
+        }
+        val lamArr = lamHandle.forShard(shard)
+        val base = shard.toLong * lh.docsPerShard
+        val lambdaOf: Long => Double = d => lamArr((d - base).toInt)
+        val ws = new Wand.Workspace
+        val cbuf = new scala.collection.mutable.ArrayBuffer[Wand.Cursor]()
+        Iterator.iterate(present.nextSetBit(0))(s => present.nextSetBit(s + 1))
+          .takeWhile(_ >= 0)
+          .flatMap { pos =>
+            val (sid, ts, lq, ubNorm) = setsArr(pos)
+            cbuf.clear()
+            var i = 0
+            while (i < ts.length) {
+              val cs = pool.get(ts(i))
+              if (cs != null) {
+                var j = 0
+                while (j < cs.length) { cs(j).reset(); cbuf += cs(j); j += 1 }
+              }
+              i += 1
+            }
+            Wand.blendedTopK(cbuf, k, alpha, ubNorm, lq, lambdaOf, ws)
+              .iterator.map(h => (sid, h.docId, h.score))
+          }
+      }
+      .toDF("set_id", "doc_id", "score")
   }
 
   /** Bound-safe candidate generation for blended re-ranking: per

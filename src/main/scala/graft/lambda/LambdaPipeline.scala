@@ -128,7 +128,10 @@ object LambdaPipeline {
         "extraDirs" -> ""))
       val ls = Files.list(Paths.get(dir))
       try ls.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("lambdas_e"))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("lambdas_e") || n.startsWith("lamlens_e")
+        }
         .toSeq.foreach(Stage.deleteRecursive)
       finally ls.close()
     }
@@ -278,6 +281,16 @@ object LambdaPipeline {
         .write.mode("overwrite").parquet(s"$dir/lambdas")
       -1L
     }
+
+    // ---- λ side arrays (LamStore) --------------------------------------
+    // fixed-width per-doc-shard λ windows, the v5 lens layout applied to
+    // λ: the blended batch path reads its shard's window in-task instead
+    // of shuffling the candidate band through a λ join (measured 64.6M
+    // band rows for the 4096-query α=0.9 bench batch)
+    Stage.run(s"$dir/lamlens", "lamlens", fp) {
+      graft.index.LamStore.writeSegments(spark,
+        spark.read.parquet(s"$dir/lambdas"), s"$dir/lamlens", 32)
+    }
     // (generation reset — props rewrite + stale lambdas_e* cleanup — ran
     // BEFORE the first stage commit; see the block above the vocab stage)
     new LambdaIndex(spark, dir)
@@ -352,6 +365,12 @@ object LambdaPipeline {
           .toDF("doc_id", "lambda")
           .write.mode("overwrite").parquet(eDir)
         -1L
+      }
+      // the epoch's λ side-array segments (same recipe as the base
+      // lamlens stage; the epoch's id range is disjoint from the base's)
+      Stage.run(s"$dir/lamlens_e$e", s"lamlens_e$e", fpE) {
+        graft.index.LamStore.writeSegments(spark,
+          spark.read.parquet(eDir), s"$dir/lamlens_e$e", 8)
       }
       newDirs += s"lambdas_e$e"
     }
@@ -430,6 +449,38 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
     val xs = pairs.map(_._2 / total).toArray // same tf-mass normalization as docs
     val tau = LambdaAgg.tauOverSparse(xs, graphProps("nNodes").toInt, tauMode)
     TauMode.syntheticLambdaSparse(support, xs, csr, tau)
+  }
+
+  /** Serializable handle over the staged λ side arrays (LamStore
+    * segments: base `lamlens/` + one `lamlens_e<i>/` per frozen-graph
+    * incremental epoch). `docsPerShard` comes from the INDEX the blend
+    * runs against, so λ windows line up with the posting shards. The
+    * generation token hashes every lamlens stage's lineage — a rebuilt
+    * pipeline at the same path can never serve stale λ from the
+    * process-wide cache.
+    */
+  def lamHandle(docsPerShard: Long): graft.index.LamHandle = {
+    val extra =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/lambdas.props")))
+        IndexBuilder.readMeta(s"$dir/lambdas.props")
+          .getOrElse("extraDirs", "").split(",").filter(_.nonEmpty).toSeq
+      else Seq.empty
+    val roots = Seq(s"$dir/lamlens") ++
+      extra.map(d => s"$dir/${d.replace("lambdas_e", "lamlens_e")}")
+    roots.foreach { r =>
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(r)),
+        s"missing λ side-array dir $r — staged λ pipeline predates the " +
+          "lamlens stage; re-run LambdaPipeline.build (stages resume, only " +
+          "lamlens is computed)")
+    }
+    val lineages = roots.map { r =>
+      val lp = graft.index.Stage.lineagePath(r)
+      if (java.nio.file.Files.exists(lp)) java.nio.file.Files.readString(lp) else r
+    }
+    graft.index.LamHandle(roots, docsPerShard,
+      java.lang.Long.toHexString(Hashing.hash64(0x6c616d6cL, lineages: _*)),
+      Some(new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)))
   }
 
   /** Blended top-k: score = α·BM25̂ + (1−α)·(1−min(|λq−λd|,1)) where
@@ -511,11 +562,19 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
 
   /** Batched blended top-k: MANY blended queries in ONE Spark job,
     * reusing wandTopKBatch's machinery (canonicalized + deduped term
-    * sets, decode-once per (term, shard) list) with per-set slack bands
-    * (InvertedIndex.candidatesBatch), one distributed λ join for the
-    * whole batch, and a per-query window rank. The serving-tier shape:
-    * the reference's own headline bench is batch
-    * (/root/reference/benches/index_compute_bench.rs:180-320).
+    * sets, decode-once per (term, shard) list) with the blend computed
+    * IN the shard task (InvertedIndex.blendedBatch: blended-WAND kernel
+    * + per-shard λ side array) and a per-query rank from the map-side
+    * TopKAgg heaps. The serving-tier shape: the reference's own
+    * headline bench is batch (/root/reference/benches/
+    * index_compute_bench.rs:180-320).
+    *
+    * The former shape materialized the slack band as a distributed
+    * dataset and λ-joined it — measured 64.6M band rows for the bench's
+    * 4096-query α=0.9 batch, whose rank shuffle dominated the path.
+    * Per-(set, shard) blended top-k ships ≤ sets × shards × k rows and
+    * every score is exact (Wand.blendedTopK doc), so results are
+    * IDENTICAL (rank-identity asserted in LambdaPipelineSpec).
     *
     * Returns (qid, doc_id, score, rank) with rank ≤ k per qid, ordered
     * (score DESC, doc_id ASC) within each query. α=1 ranks ≡ pure BM25
@@ -535,38 +594,22 @@ class LambdaIndex(spark: SparkSession, val dir: String) {
     val info = index.termInfo(prep.flatMap(_._2).distinct)
     val k1p1 = index.bm25.k1 + 1.0
     // canonical query = (indexed term set, λq): real batches repeat hot
-    // queries; WAND bands AND the ranking run once per canonical, the
-    // per-qid fan-out joins only the k ranked rows at the very end
+    // queries; the blended WAND runs once per canonical, the per-qid
+    // fan-out joins only the k ranked rows at the very end
     val qNorm = prep.map { case (qid, ts, lqv) => (qid, ts.filter(info.contains), lqv) }
     val canonOf: Map[(Seq[String], Double), Int] =
       qNorm.map { case (_, ts, lqv) => (ts, lqv) }.distinct.zipWithIndex.toMap
     def ubNormOf(ts: Seq[String]): Double = ts.map(info(_)._1 * k1p1).sum.max(1e-12)
-    val sets: Seq[(Int, Seq[String], Double)] = canonOf.toSeq.map { case ((ts, _), cid) =>
-      val tightUb = ts.map(t => info(t)._1 * info(t)._2).sum
-      val slack =
-        if (alpha <= 0.0) tightUb
-        else math.min((1.0 - alpha) / alpha * ubNormOf(ts), tightUb)
-      (cid, ts, slack)
-    }.sortBy(_._1)
-    val canonMeta = canonOf.toSeq
-      .map { case ((ts, lqv), cid) => (cid, lqv, ubNormOf(ts)) }
-      .toDF("set_id", "lq", "ub_norm")
+    val sets: Seq[(Int, Seq[String], Double, Double)] =
+      canonOf.toSeq.map { case ((ts, lqv), cid) => (cid, ts, lqv, ubNormOf(ts)) }
+        .sortBy(_._1)
     val qMap = qNorm
       .map { case (qid, ts, lqv) => (qid, canonOf((ts, lqv))) }
       .toDF("qid", "set_id")
     // per-canonical top-k via a MAP-SIDE-combining typed aggregator
-    // (graft.search.TopKAgg) — a Window + row_number would full-sort-
-    // shuffle the whole slack band (10⁷+ rows at mid-α), the measured
-    // bottleneck; partial heaps ship ≤ tasks × canonicals × k rows
+    // (graft.search.TopKAgg) over the per-shard blended top-ks
     val agg = new graft.search.TopKAgg(k)
-    val ranked = index.candidatesBatch(sets, k)
-      .join(lambdas, Seq("doc_id"), "left")
-      .na.fill(0.0, Seq("lambda"))
-      .join(broadcast(canonMeta), "set_id")
-      .withColumn("score",
-        lit(alpha) * (col("bm25") / col("ub_norm")) +
-          lit(1.0 - alpha) * (lit(1.0) - least(abs(col("lq") - col("lambda")), lit(1.0))))
-      .select(col("set_id"), col("doc_id"), col("score"))
+    val ranked = index.blendedBatch(sets, k, alpha, lamHandle(index.docsPerShard))
       .as[(Int, Long, Double)]
       .groupByKey(_._1)
       .mapValues(v => graft.search.ScoredDoc(v._2, v._3))

@@ -74,18 +74,21 @@ final class LocalBlended(
   }
 
   /** One canonical (sorted indexed term set, λq) evaluated over this
-    * replica's slice: per-shard slack-banded WAND, λ blend, exact heap
-    * merge.
+    * replica's slice: per-shard blended-WAND kernel (pruned directly on
+    * the blended threshold — [[Wand.blendedTopK]]; formerly a
+    * slack-banded WAND whose whole band was blended), exact heap merge.
+    * Scores and tie-breaks are identical to the band path (the kernel
+    * computes the same expression for every surviving doc).
     */
   private def topKCanonical(terms: Seq[String], lq: Double,
       info: Map[String, (Double, Double)], k: Int, alpha: Double): Array[Wand.Hit] = {
     if (terms.isEmpty) return Array.empty
     val k1p1 = searcher.params.k1 + 1.0
     val ubNorm = math.max(terms.map(info(_)._1 * k1p1).sum, 1e-12)
-    val tightUb = terms.map(t => info(t)._1 * info(t)._2).sum
-    val slack =
-      if (alpha <= 0.0) tightUb
-      else math.min((1.0 - alpha) / alpha * ubNorm, tightUb)
+    val lambdaOf: Long => Double = { d =>
+      val l = lambdas.get(d)
+      if (l == null) 0.0 else l.doubleValue()
+    }
     val byShard = terms
       .flatMap(t => searcher.byTerm.getOrElse(t, Array.empty[graft.index.DecodedList]))
       .groupBy(_.shard)
@@ -97,15 +100,11 @@ final class LocalBlended(
     byShard.toSeq.sortBy(_._1).foreach { case (_, lists) =>
       val cursors = lists.sortBy(_.term)
         .map(dl => new DecodedCursor(dl, info(dl.term)._1)).toSeq
-      Wand.candidatesWithSlack(cursors, k, slack).foreach { h =>
-        val lam = lambdas.get(h.docId)
-        val prox = 1.0 - math.min(math.abs(lq - (if (lam == null) 0.0 else lam.doubleValue())), 1.0)
-        val s = alpha * (h.score / ubNorm) + (1.0 - alpha) * prox
-        val hit = Wand.Hit(h.docId, s)
+      Wand.blendedTopK(cursors, k, alpha, ubNorm, lq, lambdaOf, null).foreach { hit =>
         if (heap.size < k) heap.enqueue(hit)
         else {
           val w = heap.head
-          if (s > w.score || (s == w.score && h.docId < w.docId)) {
+          if (hit.score > w.score || (hit.score == w.score && hit.docId < w.docId)) {
             heap.dequeue(); heap.enqueue(hit)
           }
         }

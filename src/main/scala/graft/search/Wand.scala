@@ -119,6 +119,161 @@ object Wand {
     buf.filter(h => h.score >= th - slack).toArray
   }
 
+  /** Per-shard top-k by the BLENDED score
+    * s(d) = α·(bm25(d)/ubNorm) + (1−α)·(1 − min(|λq − λ(d)|, 1)),
+    * pruned WAND-style directly on the blended threshold — the batch
+    * blended path's kernel. Exactness: every fully-evaluated doc gets
+    * its EXACT blended score (identical expression order to the
+    * former band-join SQL and to LocalBlended); a doc is only skipped
+    * when its blended upper bound ub(d) = α·(Σ maxScores/ubNorm) +
+    * (1−α)·1 is ≤ the current k-th best blended score θ — and since
+    * docIds arrive ascending, an equal-scored later doc loses the
+    * (score DESC, docId ASC) tie-break, so `≤` pruning is safe. IEEE
+    * safety: x ≤ x' ⇒ fl(α·fl(x/u)) ≤ fl(α·fl(x'/u)) and rounding is
+    * monotone under addition of ordered terms, so the computed bound
+    * dominates every achievable computed score.
+    *
+    * vs the band approach (candidatesWithSlack + λ join): the band's
+    * threshold deflation is the WORST-case prox gap (slack =
+    * (1−α)/α·ubNorm ⇔ assuming the k-th doc has prox 0); this kernel's
+    * effective deflation is the ACTUAL prox gap of the running k-th
+    * blended doc — when candidates sit near λq it prunes like pure
+    * WAND. Measured on the bench corpus: the α=0.9 4096-query band was
+    * 64.6M rows (38k docs per canonical set); this path evaluates and
+    * emits orders of magnitude less.
+    */
+  def blendedTopK(cursors0: scala.collection.Seq[Cursor], k: Int, alpha: Double,
+      ubNorm: Double, lq: Double, lambdaOf: Long => Double,
+      ws: Workspace): Array[Hit] = {
+    val heap =
+      if (ws == null) new scala.collection.mutable.PriorityQueue[Hit]()(worstFirst)
+      else { ws.heap.clear(); ws.heap }
+    val nOrd = cursors0.size
+    if (ws != null) ws.ensure(nOrd)
+    val cursors = if (ws == null) new Array[Cursor](nOrd) else ws.cursors
+    var n = 0
+    var oi = 0
+    cursors0.foreach { c =>
+      c.ord = oi; oi += 1
+      if (!c.exhausted) { cursors(n) = c; n += 1 }
+    }
+    val contrib = if (ws == null) new Array[Double](nOrd) else ws.contrib
+    val used = if (ws == null) new Array[Boolean](nOrd) else ws.used
+    val oneMinusAlpha = 1.0 - alpha
+
+    def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head.score
+    // blended upper bound of a raw-BM25 upper bound (same expression
+    // shape as the exact score with prox at its max 1.0)
+    @inline def blendUb(rawUb: Double): Double = alpha * (rawUb / ubNorm) + oneMinusAlpha
+    @inline def prunable(rawUbSum: Double): Boolean = blendUb(rawUbSum) <= theta
+    // largest raw limit L with blendUb(L) ≤ θ usable for the strict-<
+    // metadata block scan (monotonicity makes every x < L safe); the
+    // inverse transform can land 1-2 ulps high — nudge down, else give
+    // up the extension (0.0 ⇒ no block qualifies)
+    def rawLimit(th: Double): Double = {
+      if (alpha <= 0.0 || th.isNegInfinity) return Double.NegativeInfinity
+      var l = (th - oneMinusAlpha) / alpha * ubNorm
+      var t = 0
+      while (t < 4 && l > 0.0 && blendUb(l) > th) { l = Math.nextDown(l); t += 1 }
+      if (l.isNaN || blendUb(l) > th) 0.0 else l
+    }
+
+    def offer(h: Hit): Unit = {
+      if (heap.size < k) heap.enqueue(h)
+      else {
+        val w = heap.head
+        if (h.score > w.score || (h.score == w.score && h.docId < w.docId)) {
+          heap.dequeue(); heap.enqueue(h)
+        }
+      }
+    }
+
+    var done = false
+    while (n > 0 && !done) {
+      java.util.Arrays.sort(cursors, 0, n, byDocId)
+      var acc = 0.0
+      var p = 0
+      var found = -1
+      while (p < n && found < 0) {
+        acc += cursors(p).maxScore
+        if (heap.size < k || !prunable(acc)) found = p
+        p += 1
+      }
+      if (found < 0) done = true
+      else {
+        val pivotDoc = cursors(found).docId
+        while (found + 1 < n && cursors(found + 1).docId == pivotDoc) found += 1
+
+        if (cursors(0).docId == pivotDoc) {
+          var bmSum = 0.0
+          var i = 0
+          while (i <= found) {
+            cursors(i).advanceTo(pivotDoc)
+            if (!cursors(i).exhausted && cursors(i).docId <= cursors(i).blockLastDocId)
+              bmSum += cursors(i).blockMaxScore
+            i += 1
+          }
+          if (heap.size == k && prunable(bmSum)) {
+            var boundary = Long.MaxValue
+            i = 0
+            while (i <= found) {
+              val c = cursors(i)
+              if (!c.exhausted && c.docId == pivotDoc && c.blockLastDocId < boundary)
+                boundary = c.blockLastDocId
+              i += 1
+            }
+            if (found == 0 && !cursors(0).exhausted && cursors(0).docId == pivotDoc)
+              boundary = math.max(boundary, cursors(0).boundaryWithMaxBelow(rawLimit(theta)))
+            if (found + 1 < n)
+              boundary = math.min(boundary, cursors(found + 1).docId - 1)
+            if (boundary == Long.MaxValue || boundary < pivotDoc) boundary = pivotDoc
+            i = 0
+            while (i <= found) {
+              val c = cursors(i)
+              if (!c.exhausted && c.docId <= boundary) c.advanceTo(boundary + 1)
+              i += 1
+            }
+          } else {
+            var i = 0
+            while (i < n && !cursors(i).exhausted && {
+              cursors(i).advanceTo(pivotDoc)
+              !cursors(i).exhausted && cursors(i).docId == pivotDoc
+            }) {
+              contrib(cursors(i).ord) = cursors(i).score
+              used(cursors(i).ord) = true
+              cursors(i).next()
+              i += 1
+            }
+            var raw = 0.0
+            var j = 0
+            while (j < nOrd) {
+              if (used(j)) { raw += contrib(j); used(j) = false }
+              j += 1
+            }
+            // EXACT blended score — identical operation order to the
+            // band path's SQL (lit(α)·(bm25/ubNorm) + lit(1−α)·(1 −
+            // least(|lq − λ|, 1))) and to LocalBlended.topKCanonical
+            val lam = lambdaOf(pivotDoc)
+            val s = alpha * (raw / ubNorm) +
+              oneMinusAlpha * (1.0 - math.min(math.abs(lq - lam), 1.0))
+            offer(Hit(pivotDoc, s))
+          }
+        } else {
+          var i = 0
+          while (i < found) { cursors(i).advanceTo(pivotDoc); i += 1 }
+        }
+        var w = 0
+        var i = 0
+        while (i < n) {
+          if (!cursors(i).exhausted) { cursors(w) = cursors(i); w += 1 }
+          i += 1
+        }
+        n = w
+      }
+    }
+    drain(heap)
+  }
+
   /** docId-ascending cursor order; static comparator (no closure/boxing
     * allocation in the hot loop).
     */

@@ -310,6 +310,100 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  /** Brute-force blended ranking: every matching doc's exact raw BM25
+    * (contributions summed in sorted-term order — the cursor creation
+    * order) blended with λ in EXACTLY the kernel's expression order.
+    */
+  private def bruteBlend(docs: Map[Long, Map[String, Long]], dls: Map[Long, Long],
+      idf: Map[String, Double], avgdl: Double, q: Seq[String], k: Int,
+      alpha: Double, ubNorm: Double, lq: Double,
+      lam: Map[Long, Double]): Seq[(Long, Double)] = {
+    docs.toSeq.flatMap { case (d, ts) =>
+      val contribs = q.sorted.flatMap(t => ts.get(t).map(tf =>
+        idf(t) * PostingFormat.partial(tf.toDouble, dls(d).toDouble, params, avgdl)))
+      if (contribs.isEmpty) None
+      else {
+        var raw = 0.0
+        contribs.foreach(raw += _)
+        val l = lam.getOrElse(d, 0.0)
+        Some(d -> (alpha * (raw / ubNorm) +
+          (1.0 - alpha) * (1.0 - math.min(math.abs(lq - l), 1.0))))
+      }
+    }.sortBy { case (d, s) => (-s, d) }.take(k)
+  }
+
+  test("blendedTopK kernel == brute-force blend (random corpora, alpha sweep, both cursor kinds)") {
+    import graft.index.{DecodedCursor, DecodedList}
+    for (trial <- 1 to 20) {
+      val nDocs = 100 + rnd.nextInt(600)
+      val (docs, dls) = randomCorpus(nDocs, 3 + rnd.nextInt(8), 0.05 + rnd.nextDouble() * 0.3)
+      val avgdl = dls.values.sum.toDouble / dls.size
+      val lists = buildLists(docs, dls, avgdl)
+      if (lists.nonEmpty) {
+        val idf = lists.map { case (t, pl) => t -> BM25.idf(nDocs.toDouble, pl.df.toDouble) }
+        val q = rnd.shuffle(lists.keys.toList).take(1 + rnd.nextInt(3)).sorted
+        // λ for ~80% of docs (the rest exercise the 0.0 fill), λq nearby
+        val lam = docs.keys.filter(_ => rnd.nextDouble() < 0.8)
+          .map(d => d -> rnd.nextDouble() * 0.2).toMap
+        val lq = rnd.nextDouble() * 0.2
+        val k1p1 = params.k1 + 1.0
+        val ubNorm = math.max(q.map(idf(_) * k1p1).sum, 1e-12)
+        val lambdaOf: Long => Double = d => lam.getOrElse(d, 0.0)
+        for (alpha <- Seq(1.0, 0.9, 0.5, 0.0); k <- Seq(1, 5, 10)) {
+          val want = bruteBlend(docs, dls, idf, avgdl, q, k, alpha, ubNorm, lq, lam)
+          val pcs = q.flatMap(lists.get).sortBy(_.term)
+            .map(pl => new PostingCursor(pl, params, avgdl, idf(pl.term), lensOf(dls), 0L))
+          val got = Wand.blendedTopK(pcs, k, alpha, ubNorm, lq, lambdaOf, null)
+            .map(h => (h.docId, h.score)).toSeq
+          assert(got.map(_._1) == want.map(_._1),
+            s"trial=$trial alpha=$alpha k=$k q=$q: $got vs $want")
+          // scores must be BIT-identical (same expression order as the
+          // band-join SQL the kernel replaced)
+          got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+            assert(java.lang.Double.doubleToRawLongBits(gs) ==
+              java.lang.Double.doubleToRawLongBits(ws), s"score drift $gs vs $ws")
+          }
+          val dcs = q.flatMap(lists.get).sortBy(_.term)
+            .map(pl => new DecodedCursor(
+              DecodedList.from(pl, params, avgdl, lensOf(dls), 0L), idf(pl.term)))
+          val got2 = Wand.blendedTopK(dcs, k, alpha, ubNorm, lq, lambdaOf,
+            new Wand.Workspace).map(h => (h.docId, h.score)).toSeq
+          assert(got2 == got, s"decoded-cursor drift trial=$trial alpha=$alpha k=$k")
+        }
+      }
+    }
+  }
+
+  test("blendedTopK kernel on tie-heavy profiles (pruning-with-ties safety)") {
+    for (trial <- 1 to 8) {
+      val nDocs = 400
+      val profiles = Array.fill(4)((0 until 4).flatMap { t =>
+        if (rnd.nextDouble() < 0.6) Some(s"t$t" -> (1L + rnd.nextInt(3))) else None
+      }.toMap)
+      val docs = (0L until nDocs.toLong).map(d => d -> profiles((d % 4).toInt)).toMap
+      val dls = docs.map { case (d, ts) => d -> math.max(1L, ts.values.sum) }
+      val avgdl = dls.values.sum.toDouble / dls.size
+      val lists = buildLists(docs, dls, avgdl)
+      if (lists.nonEmpty) {
+        val idf = lists.map { case (t, pl) => t -> BM25.idf(nDocs.toDouble, pl.df.toDouble) }
+        val q = lists.keys.toSeq.sorted.take(2)
+        // identical λ per profile → massed blended-score ties
+        val lam = docs.keys.map(d => d -> (d % 4) * 0.05).toMap
+        val lq = 0.05
+        val ubNorm = math.max(q.map(idf(_) * (params.k1 + 1.0)).sum, 1e-12)
+        for (alpha <- Seq(0.9, 0.5); k <- Seq(3, 17)) {
+          val want = bruteBlend(docs, dls, idf, avgdl, q, k, alpha, ubNorm, lq, lam)
+          val pcs = q.flatMap(lists.get).sortBy(_.term)
+            .map(pl => new PostingCursor(pl, params, avgdl, idf(pl.term), lensOf(dls), 0L))
+          val got = Wand.blendedTopK(pcs, k, alpha, ubNorm, lq,
+            (d: Long) => lam.getOrElse(d, 0.0), null)
+            .map(h => (h.docId, h.score)).toSeq
+          assert(got == want, s"trial=$trial alpha=$alpha k=$k")
+        }
+      }
+    }
+  }
+
   test("WAND handles terms absent from corpus and k > matches") {
     val (docs, dls) = randomCorpus(20, 3, 0.5)
     val avgdl = dls.values.sum.toDouble / dls.size

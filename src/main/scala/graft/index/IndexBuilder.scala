@@ -133,7 +133,12 @@ object IndexBuilder {
     // per stage, which inflated the fixed Amdahl floor of the scaling
     // measurement. Lineage records rows = -1 ("not counted").
     Stage.run(s"$dir/docs", "docs", fp) {
-      stage1().write.mode("overwrite").parquet(s"$dir/docs")
+      // dictionary encoding off: every heavy column here (content, sha256,
+      // path, commit) is high-cardinality, so the dictionary pass only
+      // buffers and falls back — measured ~18% of the docs-stage write
+      stage1().write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(s"$dir/docs")
       -1L
     }
     def docs: Dataset[Doc] = spark.read.parquet(s"$dir/docs")
@@ -439,7 +444,9 @@ object IndexBuilder {
 
     // ---- stage 1: the epoch's docs, ids starting at the current size ----
     Stage.run(s"$eDir/docs", s"docs/e$epoch", fp) {
-      stage1(baseDocs).write.mode("overwrite").parquet(s"$eDir/docs")
+      stage1(baseDocs).write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false") // high-cardinality columns (see base docs stage)
+        .parquet(s"$eDir/docs")
       -1L
     }
     def docs: Dataset[Doc] = spark.read.parquet(s"$eDir/docs")
@@ -562,9 +569,18 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
   // each epoch root loads separately (partition discovery across roots
   // with tbucket=/bucket= subdirs conflicts on a common base path); the
   // union is of identical projections, and filters still push into every
-  // per-root scan
+  // per-root scan.
+  // The per-root frames are cached on the handle: spark.read.parquet
+  // re-lists the directory and re-reads a footer on EVERY call, which
+  // charged each single query ~0.1-0.2 s of driver-side work; a cached
+  // frame keeps its resolved file index while per-query filters still
+  // push into the scan. Handle semantics unchanged — meta (and hence
+  // the epoch set) is already frozen per handle.
+  @transient private lazy val postingsByEpoch: Seq[DataFrame] =
+    epochPaths("postings").map(p => spark.read.parquet(p))
+
   def postings: Dataset[PostingList] =
-    epochPaths("postings").map(p => projectLists(spark.read.parquet(p))).reduce(_ union _)
+    postingsByEpoch.map(projectLists).reduce(_ union _)
 
   /** Postings restricted to `terms`. Under the term-bucketed layout
     * (Params.termBuckets > 0) the bucket predicate prunes PARTITION
@@ -578,8 +594,7 @@ class InvertedIndex(@transient val spark: SparkSession, val dir: String) extends
     val tb = meta.getOrElse("termBuckets", "0").toInt
     val buckets =
       if (tb > 0) terms.map(t => IndexBuilder.termBucketOf(t, tb)).distinct else Nil
-    epochPaths("postings").map { p =>
-      val raw = spark.read.parquet(p)
+    postingsByEpoch.map { raw =>
       val pruned =
         if (tb > 0 && raw.columns.contains("tbucket"))
           raw.filter($"tbucket".isin(buckets: _*))

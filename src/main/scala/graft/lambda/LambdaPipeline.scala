@@ -75,13 +75,19 @@ object LambdaPipeline {
       i += 1
     }
     if (m == 0) return None
-    val order = Array.range(0, m).sortBy(tis(_))
+    // primitive index sort by termIdx (distinct per doc): pack
+    // (termIdx << 32 | position) into longs — same order as the former
+    // boxed sortBy, no Integer allocation in the per-doc hot path
+    val packed = new Array[Long](m)
+    i = 0
+    while (i < m) { packed(i) = (tis(i).toLong << 32) | i.toLong; i += 1 }
+    java.util.Arrays.sort(packed)
     val support = new Array[Int](m)
     val xs = new Array[Double](m)
     val denom = vdl.toDouble
     i = 0
     while (i < m) {
-      val j = order(i)
+      val j = (packed(i) & 0xffffffffL).toInt
       support(i) = tis(j)
       xs(i) = tfv(j).toDouble / denom
       i += 1

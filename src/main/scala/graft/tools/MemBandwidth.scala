@@ -15,8 +15,16 @@ object MemBandwidth {
     val gb = if (args.length > 0) args(0).toDouble else 2.0
     val levels = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq else Seq(1, 4, 32)
     val reps = if (args.length > 2) args(2).toInt else 3
-    val longsPerThread = (gb * 1e9 / 8).toLong.toInt
     for (t <- levels) {
+      // FIXED total working set (gb split across the t threads): the
+      // former gb-per-thread sizing allocated 64 GB of live long[] at
+      // the default 32-thread level (instant OOM on any normal heap),
+      // and (gb·1e9/8).toLong.toInt overflowed Int for gb ≥ ~17
+      val longsPerThread = {
+        val l = (gb * 1e9 / 8 / t).toLong
+        require(l > 0 && l <= Int.MaxValue, s"bad per-thread size $l (gb=$gb, t=$t)")
+        l.toInt
+      }
       // one private array per thread: no false sharing, pure streaming reads
       val arrays = Array.fill(t)(new Array[Long](longsPerThread))
       arrays.foreach { a => var i = 0; while (i < a.length) { a(i) = i; i += 1 } }

@@ -34,27 +34,36 @@ final class TopKAgg(k: Int)
   /** Keep the k best (score DESC, docId ASC) of buf[0, n) in place;
     * returns the new length. Exactness: every dropped hit is worse than
     * k kept hits of the same buffer, so it can never enter the final
-    * top-k.
+    * top-k. Bounded insertion over the ≤ 2k-element buffer — the former
+    * boxed-Integer comparator sort allocated and boxed on every cap
+    * overflow, ~10⁵ times per bench batch.
     */
   private def trim(b: TopKBuf): TopKBuf = {
     val n = b.n
-    val order = new Array[Integer](n)
-    var i = 0
-    while (i < n) { order(i) = Integer.valueOf(i); i += 1 }
-    java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
-      def compare(x: Integer, y: Integer): Int = {
-        val c = java.lang.Double.compare(b.scores(y), b.scores(x))
-        if (c != 0) c else java.lang.Long.compare(b.ids(x), b.ids(y))
-      }
-    })
     val m = math.min(k, n)
     val ids = new Array[Long](cap)
     val scores = new Array[Double](cap)
-    i = 0
-    while (i < m) {
-      ids(i) = b.ids(order(i)); scores(i) = b.scores(order(i)); i += 1
+    // insertion selection of the m best (score DESC, docId ASC): ≤ 2k
+    // elements, primitive comparisons only; identical order to a full
+    // sort-then-take (the key is a total order — docIds distinct)
+    var kept = 0
+    var i = 0
+    while (i < n) {
+      val s = b.scores(i); val d = b.ids(i)
+      if (kept < m || s > scores(kept - 1) ||
+        (s == scores(kept - 1) && d < ids(kept - 1))) {
+        var pos = if (kept < m) kept else m - 1
+        while (pos > 0 && (s > scores(pos - 1) ||
+          (s == scores(pos - 1) && d < ids(pos - 1)))) {
+          scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1)
+          pos -= 1
+        }
+        scores(pos) = s; ids(pos) = d
+        if (kept < m) kept += 1
+      }
+      i += 1
     }
-    b.ids = ids; b.scores = scores; b.n = m
+    b.ids = ids; b.scores = scores; b.n = kept
     b
   }
 

@@ -44,12 +44,74 @@ object Wand {
     def boundaryWithMaxBelow(limit: Double): Long = blockLastDocId
   }
 
-  /** Worst-first ordering for the k-heap: smaller score is worse; on equal
-    * score, larger docId is worse.
+  /** Primitive top-k heap: parallel score/id arrays, worst-at-root
+    * (worst = smaller score, larger docId on ties), no element
+    * allocation until [[drain]]. The kernel runs ~10⁶ heap lifecycles
+    * per 32k-query batch rep; the former PriorityQueue[Hit] allocated a
+    * Hit per evaluated doc and paid a boxed Ordering call per sift
+    * comparison.
     */
-  private val worstFirst: Ordering[Hit] = (a: Hit, b: Hit) => {
-    val c = java.lang.Double.compare(a.score, b.score)
-    if (c != 0) -c else java.lang.Long.compare(a.docId, b.docId)
+  final class HitHeap {
+    private var scores = new Array[Double](16)
+    private var ids = new Array[Long](16)
+    var size = 0
+
+    def clear(): Unit = size = 0
+    @inline def headScore: Double = scores(0)
+    @inline def headId: Long = ids(0)
+
+    /** a strictly worse than b under (score DESC, docId ASC) ranking. */
+    @inline private def worse(sa: Double, da: Long, sb: Double, db: Long): Boolean =
+      sa < sb || (sa == sb && da > db)
+
+    def push(s: Double, d: Long): Unit = {
+      if (size == scores.length) {
+        scores = java.util.Arrays.copyOf(scores, size * 2)
+        ids = java.util.Arrays.copyOf(ids, size * 2)
+      }
+      var i = size
+      size += 1
+      while (i > 0 && {
+        val p = (i - 1) >> 1
+        worse(s, d, scores(p), ids(p))
+      }) {
+        val p = (i - 1) >> 1
+        scores(i) = scores(p); ids(i) = ids(p)
+        i = p
+      }
+      scores(i) = s; ids(i) = d
+    }
+
+    /** Replace the worst element (root) and restore the heap. */
+    def replaceHead(s: Double, d: Long): Unit = {
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1
+        if (l >= size) { scores(i) = s; ids(i) = d; return }
+        val r = l + 1
+        val c = if (r < size && worse(scores(r), ids(r), scores(l), ids(l))) r else l
+        if (worse(scores(c), ids(c), s, d)) {
+          scores(i) = scores(c); ids(i) = ids(c)
+          i = c
+        } else { scores(i) = s; ids(i) = d; return }
+      }
+    }
+
+    /** Best-first (score DESC, docId ASC) contents; empties the heap. */
+    def drain(): Array[Hit] = {
+      val out = new Array[Hit](size)
+      var i = size - 1
+      while (i >= 0) {
+        out(i) = Hit(ids(0), scores(0))
+        size -= 1
+        if (size > 0) {
+          val s = scores(size); val d = ids(size)
+          replaceHead(s, d)
+        }
+        i -= 1
+      }
+      out
+    }
   }
 
   /** Reusable per-task scratch for the batch paths: one heap + scratch
@@ -59,8 +121,7 @@ object Wand {
     * GC pressure.
     */
   final class Workspace {
-    private[search] val heap =
-      new scala.collection.mutable.PriorityQueue[Hit]()(worstFirst)
+    private[search] val heap = new HitHeap
     private[search] var cursors = new Array[Cursor](16)
     private[search] var contrib = new Array[Double](16)
     private[search] var used = new Array[Boolean](16)
@@ -80,8 +141,7 @@ object Wand {
   def topK(cursors0: scala.collection.Seq[Cursor], k: Int, ws: Workspace): Array[Hit] =
     run(cursors0, k, 0.0, band = false, buf = null, ws = ws)
 
-  private def drain(heap: scala.collection.mutable.PriorityQueue[Hit]): Array[Hit] =
-    heap.dequeueAll.reverse.toArray // worst-first dequeue -> reverse = best-first
+  private def drain(heap: HitHeap): Array[Hit] = heap.drain()
 
   /** Candidate generation for additively-blended re-ranking: returns
     * EXACTLY the set { d : score(d) >= theta - slack } where theta is the
@@ -145,9 +205,7 @@ object Wand {
   def blendedTopK(cursors0: scala.collection.Seq[Cursor], k: Int, alpha: Double,
       ubNorm: Double, lq: Double, lambdaOf: Long => Double,
       ws: Workspace): Array[Hit] = {
-    val heap =
-      if (ws == null) new scala.collection.mutable.PriorityQueue[Hit]()(worstFirst)
-      else { ws.heap.clear(); ws.heap }
+    val heap = if (ws == null) new HitHeap else { ws.heap.clear(); ws.heap }
     val nOrd = cursors0.size
     if (ws != null) ws.ensure(nOrd)
     val cursors = if (ws == null) new Array[Cursor](nOrd) else ws.cursors
@@ -161,7 +219,7 @@ object Wand {
     val used = if (ws == null) new Array[Boolean](nOrd) else ws.used
     val oneMinusAlpha = 1.0 - alpha
 
-    def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head.score
+    def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.headScore
     // blended upper bound of a raw-BM25 upper bound (same expression
     // shape as the exact score with prox at its max 1.0)
     @inline def blendUb(rawUb: Double): Double = alpha * (rawUb / ubNorm) + oneMinusAlpha
@@ -178,14 +236,10 @@ object Wand {
       if (l.isNaN || blendUb(l) > th) 0.0 else l
     }
 
-    def offer(h: Hit): Unit = {
-      if (heap.size < k) heap.enqueue(h)
-      else {
-        val w = heap.head
-        if (h.score > w.score || (h.score == w.score && h.docId < w.docId)) {
-          heap.dequeue(); heap.enqueue(h)
-        }
-      }
+    @inline def offer(s: Double, d: Long): Unit = {
+      if (heap.size < k) heap.push(s, d)
+      else if (s > heap.headScore || (s == heap.headScore && d < heap.headId))
+        heap.replaceHead(s, d)
     }
 
     var done = false
@@ -256,7 +310,7 @@ object Wand {
             val lam = lambdaOf(pivotDoc)
             val s = alpha * (raw / ubNorm) +
               oneMinusAlpha * (1.0 - math.min(math.abs(lq - lam), 1.0))
-            offer(Hit(pivotDoc, s))
+            offer(s, pivotDoc)
           }
         } else {
           var i = 0
@@ -291,14 +345,12 @@ object Wand {
     * Hot-loop discipline (this runs per (query, shard) in the batch
     * path): cursor array compacted IN PLACE as lists exhaust, static
     * comparator sort over the active range, contribution scratch arrays
-    * allocated once per call - the loop itself allocates only the Hit
-    * per fully-evaluated doc.
+    * allocated once per call - in top-k mode the loop allocates nothing
+    * (primitive heap; Hits materialize only at drain).
     */
   private def run(cursors0: scala.collection.Seq[Cursor], k: Int, slack: Double, band: Boolean,
       buf: scala.collection.mutable.ArrayBuffer[Hit], ws: Workspace): Array[Hit] = {
-    val heap =
-      if (ws == null) new scala.collection.mutable.PriorityQueue[Hit]()(worstFirst)
-      else { ws.heap.clear(); ws.heap }
+    val heap = if (ws == null) new HitHeap else { ws.heap.clear(); ws.heap }
     val nOrd = cursors0.size
     if (ws != null) ws.ensure(nOrd)
     val cursors = if (ws == null) new Array[Cursor](nOrd) else ws.cursors
@@ -313,20 +365,16 @@ object Wand {
     val contrib = if (ws == null) new Array[Double](nOrd) else ws.contrib
     val used = if (ws == null) new Array[Boolean](nOrd) else ws.used
 
-    def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head.score
+    def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.headScore
 
     @inline def prunable(ubSum: Double): Boolean =
       if (band) ubSum + slack < theta else ubSum <= theta
 
-    def offer(h: Hit): Unit = {
-      if (band) buf += h
-      if (heap.size < k) heap.enqueue(h)
-      else {
-        val w = heap.head
-        if (h.score > w.score || (h.score == w.score && h.docId < w.docId)) {
-          heap.dequeue(); heap.enqueue(h)
-        }
-      }
+    @inline def offer(s: Double, d: Long): Unit = {
+      if (band) buf += Hit(d, s)
+      if (heap.size < k) heap.push(s, d)
+      else if (s > heap.headScore || (s == heap.headScore && d < heap.headId))
+        heap.replaceHead(s, d)
     }
 
     var done = false
@@ -406,7 +454,7 @@ object Wand {
               if (used(j)) { s += contrib(j); used(j) = false }
               j += 1
             }
-            offer(Hit(pivotDoc, s))
+            offer(s, pivotDoc)
           }
         } else {
           // advance all pre-pivot cursors to pivotDoc

@@ -244,10 +244,18 @@ object LamStore {
     out
   }
 
+  /** Gaps up to this many ids are zero-filled in place (missing λ ≡ 0.0);
+    * a larger hole starts a new segment instead — a mis-partitioned
+    * input must never be able to zero-fill an unbounded range. Reads are
+    * identical either way (positions outside every segment also read
+    * 0.0); the threshold only bounds write amplification.
+    */
+  private val MaxFillGap = 4096L
+
   /** Write one λ table (doc_id, lambda) as fixed-width double segments.
-    * Interior id gaps are zero-filled (missing λ ≡ 0.0 — see class doc),
-    * so each task writes exactly one segment file. Returns rows written
-    * (gap fills excluded).
+    * Interior id gaps are zero-filled (missing λ ≡ 0.0 — see class doc)
+    * up to [[MaxFillGap]], so each task writes ~one segment file.
+    * Returns rows written (gap fills excluded).
     */
   def writeSegments(spark: SparkSession, lambdasDf: org.apache.spark.sql.DataFrame,
       outDir: String, parts: Int): Long = {
@@ -266,13 +274,17 @@ object LamStore {
           var out: java.io.DataOutputStream = null
           var segStart = -1L
           var prev = -2L
-          var rows = 0L
+          var rows = 0L // λ rows across ALL this task's segments (manifest sums these)
+          def open(id: Long): Unit = {
+            segStart = id
+            val (fs, p) = hadoopFs(f"$outDir/seg-$id%016d.bin", conf)
+            out = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16))
+          }
           it.foreach { case (id, lam) =>
-            if (out == null) {
-              segStart = id
-              val (fs, p) = hadoopFs(f"$outDir/seg-$id%016d.bin", conf)
-              out = new java.io.DataOutputStream(
-                new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16))
+            if (out == null) open(id)
+            else if (id - prev - 1 > MaxFillGap) {
+              out.close(); open(id)
             } else {
               var g = prev + 1
               while (g < id) { out.writeDouble(0.0); g += 1 } // interior gap ≡ no λ row

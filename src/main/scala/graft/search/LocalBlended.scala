@@ -97,10 +97,11 @@ final class LocalBlended(
         val c = java.lang.Double.compare(a.score, b.score)
         if (c != 0) -c else java.lang.Long.compare(a.docId, b.docId)
       })
+    val ws = new Wand.Workspace // one heap + scratch for all shards of this query
     byShard.toSeq.sortBy(_._1).foreach { case (_, lists) =>
       val cursors = lists.sortBy(_.term)
         .map(dl => new DecodedCursor(dl, info(dl.term)._1)).toSeq
-      Wand.blendedTopK(cursors, k, alpha, ubNorm, lq, lambdaOf, null).foreach { hit =>
+      Wand.blendedTopK(cursors, k, alpha, ubNorm, lq, lambdaOf, ws).foreach { hit =>
         if (heap.size < k) heap.enqueue(hit)
         else {
           val w = heap.head

@@ -61,6 +61,7 @@ final class LocalSearcher(
   private def evalCanonical(terms: Seq[String], idfMap: Map[String, Double],
       k: Int): Array[Wand.Hit] = {
     val byShard = terms.flatMap(t => byTerm(t)).groupBy(_.shard)
+    val ws = new Wand.Workspace // one heap + scratch for all shards of this query
     val all = byShard.toSeq.sortBy(_._1).iterator.flatMap { case (_, lists) =>
       // a term can be decoded in this replica yet missing from the lazily
       // fetched termstats (stale/partially rebuilt stats): degrade to the
@@ -69,7 +70,7 @@ final class LocalSearcher(
       val cursors = lists.sortBy(_.term)
         .map(dl => new graft.index.DecodedCursor(dl,
           idfMap.getOrElse(dl.term, BM25.idf(nDocs.toDouble, 0.0))))
-      Wand.topK(cursors, k)
+      Wand.topK(cursors, k, ws)
     }.toArray
     scala.util.Sorting.stableSort(all,
       (a: Wand.Hit, b: Wand.Hit) => a.score > b.score || (a.score == b.score && a.docId < b.docId))

@@ -80,39 +80,76 @@ object CodeCorpus {
     SourceFile(repo, path, commit, lang, content)
   }
 
-  private def camel(rng: Rng, n: Int): String = {
-    val parts = (0 until n).map(_ => Stems(rng.nextZipf(nStems)))
-    parts.head + parts.tail.map(_.capitalize).mkString
+  /** Capitalized stems, precomputed once — camelCase tails draw from
+    * here instead of re-capitalizing per occurrence.
+    */
+  private val CapStems: Vector[String] = Stems.map(_.capitalize)
+
+  /** Append a camelCase identifier of n stems — identical bytes AND
+    * identical rng draw order to the former
+    * `parts.head + parts.tail.map(_.capitalize).mkString`.
+    */
+  private def appendCamel(rng: Rng, n: Int, sb: java.lang.StringBuilder): Unit = {
+    sb.append(Stems(rng.nextZipf(nStems)))
+    var i = 1
+    while (i < n) { sb.append(CapStems(rng.nextZipf(nStems))); i += 1 }
   }
 
-  private def snake(rng: Rng, n: Int): String =
-    (0 until n).map(_ => Stems(rng.nextZipf(nStems))).mkString("_")
+  /** Append a snake_case identifier of n stems (≡ mkString("_")). */
+  private def appendSnake(rng: Rng, n: Int, sb: java.lang.StringBuilder): Unit = {
+    sb.append(Stems(rng.nextZipf(nStems)))
+    var i = 1
+    while (i < n) { sb.append('_').append(Stems(rng.nextZipf(nStems))); i += 1 }
+  }
 
   def needleToken(seed: Long, id: Long): String =
     "needle_" + Hashing.hexString(Hashing.hash64(seed, "needle", id.toString), 12)
 
+  /** Byte-identical to the original interpolation-based generator (the
+    * golden-digest test in CorpusSpec pins 5006 files of seed-42 output)
+    * but appends straight into one builder — the per-line interpolation
+    * strings and per-token capitalize calls were ~25% of the docs build
+    * stage at the 1-core level. Every rng draw happens at exactly the
+    * same point in the stream.
+    */
   private def genContent(rng: Rng, repo: String, path: String, lang: String,
       seed: Long, id: Long): String = {
     val kw = Keywords(lang)
-    val sb = new StringBuilder
-    sb.append(s"// $repo $path\n")
+    val sb = new java.lang.StringBuilder(1600)
+    sb.append("// ").append(repo).append(' ').append(path).append('\n')
     val nImports = 1 + rng.nextInt(3)
-    (0 until nImports).foreach { _ =>
-      sb.append(s"${kw(4 % kw.length)} lib.${snake(rng, 2)}\n")
+    var im = 0
+    while (im < nImports) {
+      sb.append(kw(4 % kw.length)).append(" lib.")
+      appendSnake(rng, 2, sb)
+      sb.append('\n')
+      im += 1
     }
     val nFuncs = 6 + rng.nextInt(10)
-    (0 until nFuncs).foreach { f =>
-      val fname = camel(rng, 2 + rng.nextInt(2))
-      sb.append(s"${kw(0)} $fname(${snake(rng, 1)}: ${Stems(rng.nextZipf(nStems)).capitalize}) {\n")
+    var f = 0
+    while (f < nFuncs) {
+      sb.append(kw(0)).append(' ')
+      appendCamel(rng, 2 + rng.nextInt(2), sb)
+      sb.append('(')
+      appendSnake(rng, 1, sb)
+      sb.append(": ").append(CapStems(rng.nextZipf(nStems))).append(") {\n")
       val nLines = 4 + rng.nextInt(8)
-      (0 until nLines).foreach { _ =>
-        val v = if (rng.nextInt(2) == 0) camel(rng, 2) else snake(rng, 2)
-        sb.append(s"  ${kw(1 % kw.length)} $v = ${camel(rng, 1)}(${snake(rng, 1)}, ${rng.nextInt(100)})\n")
+      var l = 0
+      while (l < nLines) {
+        sb.append("  ").append(kw(1 % kw.length)).append(' ')
+        if (rng.nextInt(2) == 0) appendCamel(rng, 2, sb) else appendSnake(rng, 2, sb)
+        sb.append(" = ")
+        appendCamel(rng, 1, sb)
+        sb.append('(')
+        appendSnake(rng, 1, sb)
+        sb.append(", ").append(rng.nextInt(100)).append(")\n")
+        l += 1
       }
       sb.append("}\n")
+      f += 1
     }
     // rare needle token — exactly one per file
-    sb.append(s"// ${needleToken(seed, id)}\n")
+    sb.append("// ").append(needleToken(seed, id)).append('\n')
     sb.toString
   }
 

@@ -80,14 +80,23 @@ object IndexBuilder {
     docs.map { d =>
       val toks = fn(d.content)
       val dl = toks.length.toLong
-      val m = new java.util.LinkedHashMap[String, Long]() // first-occurrence order: deterministic
-      toks.foreach(t => m.merge(t, 1L, (a, b) => a + b))
+      // first-occurrence order: deterministic; single-cell long[] values
+      // instead of boxed Longs — the former merge() boxed a Long per
+      // token OCCURRENCE (~10¹⁴ at design scale), this allocates one
+      // tiny array per DISTINCT term per doc
+      val m = new java.util.LinkedHashMap[String, Array[Long]]()
+      var j = 0
+      while (j < toks.length) {
+        val c = m.get(toks(j))
+        if (c == null) m.put(toks(j), Array(1L)) else c(0) += 1L
+        j += 1
+      }
       val terms = new Array[String](m.size)
       val tfs = new Array[Long](m.size)
       val it = m.entrySet().iterator()
       var i = 0
       while (it.hasNext) {
-        val e = it.next(); terms(i) = e.getKey; tfs(i) = e.getValue; i += 1
+        val e = it.next(); terms(i) = e.getKey; tfs(i) = e.getValue()(0); i += 1
       }
       (d.docId, terms, tfs, dl)
     }.toDF("doc_id", "terms", "tfs", "dl")

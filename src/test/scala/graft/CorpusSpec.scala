@@ -43,6 +43,23 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("golden digest: seed-42 corpus bytes are pinned across generator rewrites") {
+    // digest recorded from the interpolation-based generator BEFORE the
+    // round-6 append-based rewrite — the corpus is the root of every
+    // gate artifact and bench number, so its bytes must never drift
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    for (id <- Seq(0L, 1L, 7L, 999L, 54321L, 99999L)) {
+      val f = CodeCorpus.file(42L, id)
+      md.update(f.content.getBytes("UTF-8"))
+      md.update(f.repo.getBytes("UTF-8")); md.update(f.path.getBytes("UTF-8"))
+      md.update(f.commit.getBytes("UTF-8")); md.update(f.lang.getBytes("UTF-8"))
+    }
+    var i = 0L
+    while (i < 5000L) { md.update(CodeCorpus.file(42L, i).content.getBytes("UTF-8")); i += 1 }
+    val hex = md.digest().map("%02x".format(_)).mkString
+    assert(hex == "904cca3152d891a3fd9930724e33dfb3ab55b574be96fab7f2e4ac94e74c44b3", hex)
+  }
+
   test("term frequency is Zipf-skewed: top stem count >> median stem count") {
     import spark.implicits._
     val ds = CodeCorpus.generate(spark, 300, seed = 42L, parts = 4)

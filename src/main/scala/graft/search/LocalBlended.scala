@@ -89,29 +89,45 @@ final class LocalBlended(
       val l = lambdas.get(d)
       if (l == null) 0.0 else l.doubleValue()
     }
-    val byShard = terms
-      .flatMap(t => searcher.byTerm.getOrElse(t, Array.empty[graft.index.DecodedList]))
-      .groupBy(_.shard)
-    val heap = new scala.collection.mutable.PriorityQueue[Wand.Hit]()(
-      (a: Wand.Hit, b: Wand.Hit) => {
-        val c = java.lang.Double.compare(a.score, b.score)
-        if (c != 0) -c else java.lang.Long.compare(a.docId, b.docId)
-      })
+    // primitive shard-merge walk over the term-sorted, shard-sorted list
+    // arrays — same visit order as the former groupBy/sortBy (see
+    // LocalSearcher.evalCanonical)
+    val arrays = terms.map(t =>
+      searcher.byTerm.getOrElse(t, Array.empty[graft.index.DecodedList])).toArray
+    val idfs = terms.map(t => info(t)._1).toArray
+    val pos = new Array[Int](arrays.length)
     val ws = new Wand.Workspace // one heap + scratch for all shards of this query
-    byShard.toSeq.sortBy(_._1).foreach { case (_, lists) =>
-      val cursors = lists.sortBy(_.term)
-        .map(dl => new DecodedCursor(dl, info(dl.term)._1)).toSeq
-      Wand.blendedTopK(cursors, k, alpha, ubNorm, lq, lambdaOf, ws).foreach { hit =>
-        if (heap.size < k) heap.enqueue(hit)
-        else {
-          val w = heap.head
-          if (hit.score > w.score || (hit.score == w.score && hit.docId < w.docId)) {
-            heap.dequeue(); heap.enqueue(hit)
+    val cbuf = new scala.collection.mutable.ArrayBuffer[Wand.Cursor]()
+    val merge = new Wand.HitHeap // global top-k across shards
+    var done = false
+    while (!done) {
+      var shard = Int.MaxValue
+      var i = 0
+      while (i < arrays.length) {
+        if (pos(i) < arrays(i).length && arrays(i)(pos(i)).shard < shard)
+          shard = arrays(i)(pos(i)).shard
+        i += 1
+      }
+      if (shard == Int.MaxValue) done = true
+      else {
+        cbuf.clear()
+        i = 0
+        while (i < arrays.length) {
+          while (pos(i) < arrays(i).length && arrays(i)(pos(i)).shard == shard) {
+            cbuf += new DecodedCursor(arrays(i)(pos(i)), idfs(i))
+            pos(i) += 1
           }
+          i += 1
+        }
+        Wand.blendedTopK(cbuf, k, alpha, ubNorm, lq, lambdaOf, ws).foreach { hit =>
+          if (merge.size < k) merge.push(hit.score, hit.docId)
+          else if (hit.score > merge.headScore ||
+            (hit.score == merge.headScore && hit.docId < merge.headId))
+            merge.replaceHead(hit.score, hit.docId)
         }
       }
     }
-    heap.dequeueAll.reverse.toArray
+    merge.drain()
   }
 }
 

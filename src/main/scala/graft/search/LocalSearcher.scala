@@ -60,18 +60,45 @@ final class LocalSearcher(
 
   private def evalCanonical(terms: Seq[String], idfMap: Map[String, Double],
       k: Int): Array[Wand.Hit] = {
-    val byShard = terms.flatMap(t => byTerm(t)).groupBy(_.shard)
+    // per-term list arrays are shard-sorted (fromIndex), and `terms` is
+    // sorted — a primitive index-walk merge visits shards ascending and
+    // gathers each shard's lists in term order, exactly the former
+    // groupBy(_.shard) + sortBy(_._1) + per-shard sortBy(_.term) (the
+    // per-canonical Map/Seq churn was measured serving warm-up cost)
+    val arrays = terms.map(byTerm(_)).toArray
+    // a term can be decoded in this replica yet missing from the lazily
+    // fetched termstats (stale/partially rebuilt stats): degrade to the
+    // df=0 idf instead of throwing — same graceful contract the
+    // pre-memo idf() helper had
+    val idfs = terms.map(t => idfMap.getOrElse(t, BM25.idf(nDocs.toDouble, 0.0))).toArray
+    val pos = new Array[Int](arrays.length)
     val ws = new Wand.Workspace // one heap + scratch for all shards of this query
-    val all = byShard.toSeq.sortBy(_._1).iterator.flatMap { case (_, lists) =>
-      // a term can be decoded in this replica yet missing from the lazily
-      // fetched termstats (stale/partially rebuilt stats): degrade to the
-      // df=0 idf instead of throwing — same graceful contract the
-      // pre-memo idf() helper had
-      val cursors = lists.sortBy(_.term)
-        .map(dl => new graft.index.DecodedCursor(dl,
-          idfMap.getOrElse(dl.term, BM25.idf(nDocs.toDouble, 0.0))))
-      Wand.topK(cursors, k, ws)
-    }.toArray
+    val cbuf = new scala.collection.mutable.ArrayBuffer[Wand.Cursor]()
+    val out = new scala.collection.mutable.ArrayBuffer[Wand.Hit]()
+    var done = false
+    while (!done) {
+      var shard = Int.MaxValue
+      var i = 0
+      while (i < arrays.length) {
+        if (pos(i) < arrays(i).length && arrays(i)(pos(i)).shard < shard)
+          shard = arrays(i)(pos(i)).shard
+        i += 1
+      }
+      if (shard == Int.MaxValue) done = true
+      else {
+        cbuf.clear()
+        i = 0
+        while (i < arrays.length) {
+          while (pos(i) < arrays(i).length && arrays(i)(pos(i)).shard == shard) {
+            cbuf += new graft.index.DecodedCursor(arrays(i)(pos(i)), idfs(i))
+            pos(i) += 1
+          }
+          i += 1
+        }
+        out ++= Wand.topK(cbuf, k, ws)
+      }
+    }
+    val all = out.toArray
     scala.util.Sorting.stableSort(all,
       (a: Wand.Hit, b: Wand.Hit) => a.score > b.score || (a.score == b.score && a.docId < b.docId))
     all.take(k)

@@ -171,6 +171,20 @@ object LocalBlended {
     val fn: String => Array[String] =
       if (tokMode == "simple") graft.tokenize.CodeTokenizer.simpleTokens
       else graft.tokenize.CodeTokenizer.codeTokens
-    new LocalBlended(searcher, lamMap, lam.queryLambda, fn)
+    val lb = new LocalBlended(searcher, lamMap, lam.queryLambda, fn)
+    // bounded JIT warm-up of the BLENDED kernel before the replica takes
+    // traffic (same rationale as LocalSearcher.warmKernel; the wrapped
+    // searcher already warmed the pure-BM25 path)
+    val warmTerms = searcher.byTerm.keysIterator.take(24).toVector
+    if (warmTerms.nonEmpty) {
+      val wq = (0 until 48).map { i =>
+        (i, warmTerms(i % warmTerms.size) + " " +
+          warmTerms((i * 5 + 1) % warmTerms.size))
+      }
+      val deadline = System.nanoTime() + 400_000_000L // ≤ 0.4 s
+      var r = 0
+      while (r < 24 && System.nanoTime() < deadline) { lb.topKBatch(wq, 10, 0.9); r += 1 }
+    }
+    lb
   }
 }

